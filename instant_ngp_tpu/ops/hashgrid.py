@@ -1,0 +1,228 @@
+"""Multiresolution (hash-)grid encoding — TPU-native.
+
+Re-implements the behavior of tiny-cuda-nn's grid encoding (the API the
+reference consumes via ``"otype": "HashGrid"`` configs, see
+SURVEY.md §2.2 and reference configs/nerf/base.json:24-30) as a pure-JAX
+op with exact index/hash arithmetic:
+
+  * level scale:      s_l = 2^(l·log2(b)) · N_base − 1
+  * level resolution: R_l = ceil(s_l) + 1
+  * dense index while R_l^D ≤ table size, else spatial hash
+    h(x) = (x₀·1 ⊻ x₁·2654435761 ⊻ x₂·805459861 ⊻ …) mod T
+  * d-linear (or smoothstep) interpolation of 2^D corners
+  * per-level parameter counts aligned to multiples of 8
+  * coarse-to-fine masking via ``max_level`` (reference
+    `set_max_level_gpu`, testbed_nerf.cu:3190-3230)
+
+The forward is a batched gather + weighted reduce that XLA maps well to
+TPU; the backward (scatter-add of corner gradients into the table) comes
+from autodiff of the gather. A fused Pallas path lives in
+ops/pallas/hashgrid_kernel.py.
+
+Everything is shape-static: one flat parameter table of
+(total_entries, F) float32 with static per-level offsets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Spatial-hash primes (tiny-cuda-nn convention; first dim uses 1 so that
+# dense and hashed indices coincide along x).
+_PRIMES = (1, 2654435761, 805459861, 3674653429, 2097192037, 1434869437, 2165219737)
+
+
+def _next_multiple(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class GridLevelSpec:
+    scale: float
+    resolution: int
+    size: int  # number of feature vectors in this level's table
+    offset: int  # offset (in feature vectors) into the flat table
+    hashed: bool
+
+
+@dataclasses.dataclass(frozen=True)
+class GridEncoding:
+    """Static configuration of a multiresolution grid encoding."""
+
+    n_dims: int = 3
+    n_levels: int = 16
+    n_features_per_level: int = 2
+    log2_hashmap_size: int = 19
+    base_resolution: int = 16
+    per_level_scale: float = 2.0
+    interpolation: str = "linear"  # "linear" | "smoothstep" | "nearest"
+    grid_type: str = "hash"  # "hash" | "dense" | "tiled"
+
+    @property
+    def levels(self) -> tuple[GridLevelSpec, ...]:
+        log2_b = math.log2(self.per_level_scale) if self.n_levels > 1 else 0.0
+        out = []
+        offset = 0
+        max_params = 2**31
+        for l in range(self.n_levels):
+            scale = 2.0 ** (l * log2_b) * self.base_resolution - 1.0
+            res = int(math.ceil(scale)) + 1
+            dense_size = res**self.n_dims if float(res) ** self.n_dims <= max_params else max_params
+            size = _next_multiple(min(dense_size, max_params), 8)
+            if self.grid_type == "tiled":
+                size = min(size, self.base_resolution**self.n_dims)
+            elif self.grid_type == "hash":
+                size = min(size, 1 << self.log2_hashmap_size)
+            hashed = self.grid_type == "hash" and (res**self.n_dims) > size
+            out.append(GridLevelSpec(scale, res, size, offset, hashed))
+            offset += size
+        return tuple(out)
+
+    @property
+    def n_entries(self) -> int:
+        lv = self.levels
+        return lv[-1].offset + lv[-1].size
+
+    @property
+    def n_params(self) -> int:
+        return self.n_entries * self.n_features_per_level
+
+    @property
+    def n_output_dims(self) -> int:
+        return self.n_levels * self.n_features_per_level
+
+    def init(self, key: jax.Array) -> jax.Array:
+        """Table init: uniform in [-1e-4, 1e-4] (tiny-cuda-nn convention)."""
+        return jax.random.uniform(
+            key, (self.n_entries, self.n_features_per_level), jnp.float32, -1e-4, 1e-4
+        )
+
+    # --- static (numpy) per-level constants, computed once at trace time ---
+    def _static_arrays(self):
+        lv = self.levels
+        scales = np.array([l.scale for l in lv], np.float32)  # (L,)
+        sizes = np.array([l.size for l in lv], np.uint32)
+        offsets = np.array([l.offset for l in lv], np.uint32)
+        hashed = np.array([l.hashed for l in lv], bool)
+        resolutions = np.array([l.resolution for l in lv], np.uint32)
+        return scales, sizes, offsets, hashed, resolutions
+
+    def corner_indices_and_weights(self, x: jax.Array):
+        """Compute gather indices and interpolation weights.
+
+        Args:
+          x: (N, D) positions, nominally in [0, 1].
+        Returns:
+          idx: (N, L, C) int32 global indices into the flat table.
+          w:   (N, L, C) float32 interpolation weights.
+        """
+        D, L = self.n_dims, self.n_levels
+        C = 1 << D
+        scales, sizes, offsets, hashed, resolutions = self._static_arrays()
+
+        pos = x[:, None, :] * jnp.asarray(scales)[None, :, None] + 0.5  # (N, L, D)
+        pos_floor = jnp.floor(pos)
+        frac = pos - pos_floor
+        grid = pos_floor.astype(jnp.int32)  # (N, L, D)
+
+        bits = np.array(
+            [[(c >> d) & 1 for d in range(D)] for c in range(C)], np.int32
+        )  # (C, D)
+
+        corner = grid[:, :, None, :] + jnp.asarray(bits)[None, None, :, :]  # (N,L,C,D)
+        corner_u = corner.astype(jnp.uint32)
+
+        # Dense (stride) index and hash index; select per level.
+        res_u = jnp.asarray(resolutions.astype(np.int64).astype(np.uint32))  # (L,)
+        stride = jnp.ones((L,), jnp.uint32)
+        dense_idx = jnp.zeros(corner_u.shape[:3], jnp.uint32)
+        hash_idx = jnp.zeros(corner_u.shape[:3], jnp.uint32)
+        for d in range(D):
+            dense_idx = dense_idx + corner_u[..., d] * stride[None, :, None]
+            hash_idx = hash_idx ^ (corner_u[..., d] * np.uint32(_PRIMES[d] & 0xFFFFFFFF))
+            stride = stride * res_u
+
+        hashed_j = jnp.asarray(hashed)[None, :, None]
+        sizes_j = jnp.asarray(sizes)[None, :, None]
+        local = jnp.where(hashed_j, hash_idx, dense_idx) % sizes_j
+        idx = (local + jnp.asarray(offsets)[None, :, None]).astype(jnp.int32)  # (N,L,C)
+
+        if self.interpolation == "smoothstep":
+            frac_w = frac * frac * (3.0 - 2.0 * frac)
+        elif self.interpolation == "nearest":
+            frac_w = jnp.round(frac)
+        else:
+            frac_w = frac
+        bits_f = jnp.asarray(bits, jnp.float32)  # (C, D)
+        # weight = prod_d bits ? frac : (1-frac)
+        w = jnp.prod(
+            bits_f[None, None, :, :] * frac_w[:, :, None, :]
+            + (1.0 - bits_f[None, None, :, :]) * (1.0 - frac_w[:, :, None, :]),
+            axis=-1,
+        )  # (N, L, C)
+        return idx, w
+
+    def __call__(
+        self,
+        params: jax.Array,
+        x: jax.Array,
+        max_level: Optional[jax.Array] = None,
+        compute_dtype=jnp.float32,
+    ) -> jax.Array:
+        """Encode positions.
+
+        Args:
+          params: (n_entries, F) table.
+          x: (N, D) positions in [0, 1].
+          max_level: optional scalar or (N,) in [0, 1]; levels with
+            l >= max_level * L contribute zero (coarse-to-fine training).
+        Returns:
+          (N, L*F) features, level-major.
+        """
+        N = x.shape[0]
+        L, F = self.n_levels, self.n_features_per_level
+        idx, w = self.corner_indices_and_weights(x)
+        feats = jnp.take(params, idx.reshape(N, -1), axis=0).reshape(N, L, -1, F)
+        out = jnp.sum(feats * w[..., None].astype(params.dtype), axis=2)  # (N, L, F)
+        if max_level is not None:
+            max_level = jnp.asarray(max_level)
+            lvl = jnp.arange(L, dtype=jnp.float32)
+            if max_level.ndim == 0:
+                mask = lvl[None, :] < max_level * L
+            else:
+                mask = lvl[None, :] < max_level[:, None] * L
+            out = out * mask[..., None].astype(out.dtype)
+        return out.reshape(N, L * F).astype(compute_dtype)
+
+
+def grid_encoding_from_config(cfg: dict, n_dims: int) -> GridEncoding:
+    """Build from a tcnn-style JSON encoding config (SURVEY.md §2.12)."""
+    otype = cfg.get("otype", "HashGrid").lower()
+    if "dense" in otype:
+        grid_type = "dense"
+    elif "tiled" in otype:
+        grid_type = "tiled"
+    else:
+        grid_type = cfg.get("type", "Hash").lower() if "grid" == otype else "hash"
+    n_features_per_level = int(cfg.get("n_features_per_level", 2))
+    if cfg.get("n_features", 0):
+        n_levels = int(cfg["n_features"]) // n_features_per_level
+    else:
+        n_levels = int(cfg.get("n_levels", 16))
+    return GridEncoding(
+        n_dims=n_dims,
+        n_levels=n_levels,
+        n_features_per_level=n_features_per_level,
+        log2_hashmap_size=int(cfg.get("log2_hashmap_size", 19)),
+        base_resolution=int(cfg.get("base_resolution", 16)),
+        per_level_scale=float(cfg.get("per_level_scale", 2.0)),
+        interpolation=str(cfg.get("interpolation", "Linear")).lower(),
+        grid_type=grid_type,
+    )
