@@ -1,0 +1,169 @@
+"""Benchmark driver: trains the fox NeRF and reports seconds-to-30dB
+PSNR (the BASELINE.json headline metric). Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Falls back to the albert.exr image-fit PSNR if the fox dataset is
+unavailable. Baseline target: 30 dB in < 10 s (BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+
+FOX = "/root/reference/data/nerf/fox"
+ALBERT = "/root/reference/data/image/albert.exr"
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 240))
+TARGET_DB = 30.0
+
+try:
+    import _jaxcache  # noqa: F401  (persistent compile cache)
+except Exception:
+    pass
+
+
+def bench_fox():
+    from instant_ngp_tpu.config import load_network_config
+    from instant_ngp_tpu.io.nerf_loader import load_nerf
+    from instant_ngp_tpu.metrics import mse_to_psnr
+    from instant_ngp_tpu.nerf.task import NerfTask
+    from instant_ngp_tpu.common import srgb_to_linear, linear_to_srgb
+
+    ds = load_nerf(FOX)
+    cfg = load_network_config("base.json", mode="nerf")
+    task = NerfTask(ds, cfg, n_rays_per_batch=1 << 12, max_samples_per_ray=32,
+                    n_march_iters=192)
+
+    # eval views: 5 evenly spaced training views at half res (training
+    # views double as eval for fox, like run.py screenshot_transforms)
+    w, h = ds.resolution
+    ew, eh = w // 2, h // 2
+    views = np.linspace(0, ds.n_images - 1, 5).astype(int)
+
+    def eval_psnr():
+        ses = []
+        for v in views:
+            fl = (
+                ds.focal_lengths[v, 0] * ew / w,
+                ds.focal_lengths[v, 1] * eh / h,
+            )
+            frame = task.render(
+                ew, eh, ds.xforms_start[v], focal_length=fl,
+                principal_point=tuple(ds.principal_points[v]),
+                background=(0, 0, 0, 0),
+            )
+            # GT: downsample by averaging 2x2 in linear space, then srgb
+            img = ds.images[v].astype(np.float32) / 255.0
+            lin = np.asarray(srgb_to_linear(img[..., :3])) * img[..., 3:4]
+            lin = lin[: eh * 2, : ew * 2].reshape(eh, 2, ew, 2, 3).mean((1, 3))
+            gt = np.asarray(linear_to_srgb(lin))
+            pred = np.clip(frame[..., :3], 0.0, 1.0)
+            ses.append(np.mean((pred - gt) ** 2))
+        return mse_to_psnr(float(np.mean(ses)))
+
+    # warm up compiles outside the timed region
+    task.train(1)
+    _ = eval_psnr()
+
+    # reset state for a clean timed run
+    task.state = type(task.state)(
+        params=task.model.init(__import__("jax").random.PRNGKey(1337)),
+        opt_state=None,
+        grid=task.state.grid,
+    )
+    import dataclasses
+    import jax
+
+    from instant_ngp_tpu.nerf.occupancy import init_grid, mark_untrained_cells
+
+    params = task.model.init(jax.random.PRNGKey(1337))
+    grid = init_grid(task.max_cascade + 1)
+    culled = mark_untrained_cells(
+        task.max_cascade + 1, ds.resolution, ds.focal_lengths,
+        ds.xforms_start, ds.principal_points,
+    )
+    grid = dataclasses.replace(grid, density=culled)
+    task.state = type(task.state)(
+        params=params, opt_state=task.opt.init(params), grid=grid
+    )
+    task.training_step = 0
+
+    t0 = time.time()
+    seconds_to_target = None
+    best_psnr = 0.0
+    chunk = 64
+    while time.time() - t0 < BUDGET_S:
+        task.train(chunk)
+        train_elapsed = time.time() - t0
+        p = eval_psnr()
+        best_psnr = max(best_psnr, p)
+        print(f"# step {task.training_step} t={train_elapsed:.1f}s psnr={p:.2f}",
+              file=sys.stderr, flush=True)
+        if p >= TARGET_DB:
+            seconds_to_target = train_elapsed
+            break
+
+    if seconds_to_target is not None:
+        return {
+            "metric": "fox_nerf_seconds_to_30db_psnr",
+            "value": round(seconds_to_target, 2),
+            "unit": "s",
+            "vs_baseline": round(seconds_to_target / 10.0, 3),
+            "extra": {"steps": task.training_step, "psnr": round(best_psnr, 2)},
+        }
+    return {
+        "metric": "fox_nerf_psnr_at_budget",
+        "value": round(best_psnr, 2),
+        "unit": "dB",
+        "vs_baseline": round(best_psnr / TARGET_DB, 3),
+        "extra": {"steps": task.training_step, "budget_s": BUDGET_S},
+    }
+
+
+def bench_image():
+    from instant_ngp_tpu.config import load_network_config
+    from instant_ngp_tpu.image_fit.task import ImageTask
+    from instant_ngp_tpu.io.image import load_image
+    from instant_ngp_tpu.metrics import mse_to_psnr
+
+    img, is_hdr = load_image(ALBERT)
+    cfg = load_network_config("base.json", mode="image")
+    task = ImageTask(img, is_hdr, cfg)
+    task.train(1)
+    t0 = time.time()
+    while time.time() - t0 < min(BUDGET_S, 60):
+        task.train(100)
+    psnr = mse_to_psnr(task.compute_mse())
+    return {
+        "metric": "albert_image_psnr_60s",
+        "value": round(psnr, 2),
+        "unit": "dB",
+        "vs_baseline": round(psnr / 30.0, 3),
+    }
+
+
+def main():
+    try:
+        if Path(FOX).exists():
+            result = bench_fox()
+        else:
+            result = bench_image()
+    except Exception as e:  # noqa: BLE001
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        try:
+            result = bench_image()
+        except Exception:
+            result = {"metric": "bench_failed", "value": 0.0, "unit": "none",
+                      "vs_baseline": 0.0, "error": str(e)[:200]}
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

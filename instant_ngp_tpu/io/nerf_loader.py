@@ -120,6 +120,22 @@ def load_nerf(path, sharpen: float = 0.0) -> NerfDataset:
     # natural sort by file path (reference uses NaturalSort, nerf_loader.cu:348)
     frames = sorted(frames, key=lambda fr: _natural_key(fr.get("file_path", "")))
 
+    # drop frames whose image file is absent (partial datasets)
+    def _exists(fr):
+        p = base_dir / fr["file_path"]
+        if p.exists():
+            return True
+        if not p.suffix:
+            return any(p.with_suffix(e).exists() for e in (".png", ".jpg", ".jpeg", ".exr"))
+        return False
+
+    n_before = len(frames)
+    frames = [fr for fr in frames if _exists(fr)]
+    if len(frames) < n_before:
+        import warnings
+
+        warnings.warn(f"skipped {n_before - len(frames)} frames with missing image files")
+
     # decode images in parallel
     def _load(frame):
         p = base_dir / frame["file_path"]

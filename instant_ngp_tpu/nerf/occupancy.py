@@ -165,13 +165,33 @@ def update_grid(
         mips = jnp.concatenate([u_mip, o_mip])
         idx = jnp.concatenate([u_idx, o_idx])
 
-    ix = idx // (G * G)
-    iy = (idx // G) % G
-    iz = idx % G
-    jitter = jax.random.uniform(k3, (idx.shape[0], 3))
-    pos = cell_center(ix, iy, iz, mips, jitter=jitter - 0.0)  # jitter in [0,1) cell
+    # probe densities in bounded chunks (lax.map over rank-1 cell ids) —
+    # a full-grid update is n_cascades·128³ ≈ 6.3M positions; both one
+    # giant call and a materialized (N,3) position array (which TPU
+    # tile-padding would inflate ~42×) are avoided.
+    n = idx.shape[0]
+    chunk = 1 << 18
 
-    logits = density_fn(pos)
+    def probe(args):
+        idx_c, mips_c, key_c = args
+        ix = (idx_c // (G * G)).astype(jnp.float32)
+        iy = ((idx_c // G) % G).astype(jnp.float32)
+        iz = (idx_c % G).astype(jnp.float32)
+        scale = jnp.exp2(mips_c.astype(jnp.float32))
+        jit3 = jax.random.uniform(key_c, (3, idx_c.shape[0]))
+        px = ((ix + jit3[0]) / G - 0.5) * scale + 0.5
+        py = ((iy + jit3[1]) / G - 0.5) * scale + 0.5
+        pz = ((iz + jit3[2]) / G - 0.5) * scale + 0.5
+        return density_fn(jnp.stack([px, py, pz], axis=-1))
+
+    if n > chunk:
+        n_pad = (n + chunk - 1) // chunk * chunk
+        idx_p = jnp.pad(idx, (0, n_pad - n)).reshape(-1, chunk)
+        mips_p = jnp.pad(mips, (0, n_pad - n)).reshape(-1, chunk)
+        keys = jax.random.split(k3, n_pad // chunk)
+        logits = jax.lax.map(probe, (idx_p, mips_p, keys)).reshape(-1)[:n]
+    else:
+        logits = probe((idx, mips, k3))
     dens = network_to_density(logits.astype(jnp.float32), density_activation)
     optical_thickness = dens * MIN_CONE_STEPSIZE
 
@@ -216,37 +236,64 @@ def mark_untrained_cells(
     R = jnp.asarray(xforms[:, :, :3])  # (I,3,3) columns x,y,z axes
     t = jnp.asarray(xforms[:, :, 3])  # (I,3)
     pp = jnp.asarray(principal_points)  # (I,2)
+    n_images = xforms.shape[0]
 
-    ii = jnp.arange(G)
-    gx, gy, gz = jnp.meshgrid(ii, ii, ii, indexing="ij")
-    base = jnp.stack([gx, gy, gz], -1).reshape(-1, 3).astype(jnp.float32)  # (n_cells,3)
+    corner_offsets = [
+        (0, 0, 0), (1, 0, 0), (0, 1, 0), (1, 1, 0),
+        (0, 0, 1), (1, 0, 1), (0, 1, 1), (1, 1, 1),
+    ]
 
-    @jax.jit
-    def visible_for_mip(mip):
+    @functools.partial(jax.jit, static_argnums=())
+    def visible_chunk(bx, by, bz, mip):
+        """(n,) integer cell coords per axis → (n,) bool visibility.
+        Rank-1 math throughout: on TPU an (n,3) f32 array tile-pads its
+        trailing dim to 128 lanes (~42× memory); component arrays keep
+        n in the lane dimension."""
         scale = jnp.exp2(mip.astype(jnp.float32))
         voxel = scale / G
-        pos = (base / G - 0.5) * scale + 0.5  # (n,3) cell min corner
-
-        corners = pos[:, None, :] + voxel * jnp.asarray(
-            [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0],
-             [0, 0, 1], [1, 0, 1], [0, 1, 1], [1, 1, 1]], jnp.float32
-        )[None]  # (n, 8, 3)
+        px = (bx / G - 0.5) * scale + 0.5
+        py = (by / G - 0.5) * scale + 0.5
+        pz = (bz / G - 0.5) * scale + 0.5
 
         def body(i, seen):
-            rel = corners - t[i]  # (n,8,3)
-            # camera space: local = R^T·rel; forward is column 2
-            local = jnp.einsum("nkc,cr->nkr", rel, R[i])
-            z = local[..., 2]
-            infront = z > 1e-4
-            u = local[..., 0] / jnp.maximum(z, 1e-6) * fx[i] / w + pp[i, 0]
-            v = local[..., 1] / jnp.maximum(z, 1e-6) * fy[i] / h + pp[i, 1]
-            vis = infront & (u > 0) & (u < 1) & (v > 0) & (v < 1)
-            return seen | jnp.any(vis, axis=-1)
+            Ri = R[i]  # (3,3), columns are camera axes
+            ti = t[i]
+            vis_any = jnp.zeros_like(seen)
+            for c in range(8):
+                ox, oy, oz = corner_offsets[c]
+                rx = px + voxel * ox - ti[0]
+                ry = py + voxel * oy - ti[1]
+                rz = pz + voxel * oz - ti[2]
+                # camera-space coordinates: local_k = rel · R[:,k]
+                z = rx * Ri[0, 2] + ry * Ri[1, 2] + rz * Ri[2, 2]
+                lx = rx * Ri[0, 0] + ry * Ri[1, 0] + rz * Ri[2, 0]
+                ly = rx * Ri[0, 1] + ry * Ri[1, 1] + rz * Ri[2, 1]
+                zi = 1.0 / jnp.maximum(z, 1e-6)
+                u = lx * zi * fx[i] / w + pp[i, 0]
+                v = ly * zi * fy[i] / h + pp[i, 1]
+                vis_any = vis_any | (
+                    (z > 1e-4) & (u > 0) & (u < 1) & (v > 0) & (v < 1)
+                )
+            return seen | vis_any
 
-        seen = jax.lax.fori_loop(
-            0, R.shape[0], body, jnp.zeros((base.shape[0],), bool)
-        )
-        return jnp.where(seen, 0.0, -1.0)
+        return jax.lax.fori_loop(0, n_images, body, jnp.zeros(bx.shape[0], bool))
 
-    grids = [visible_for_mip(jnp.int32(m)).reshape(G, G, G) for m in range(n_cascades)]
-    return jnp.stack(grids)
+    ii = np.arange(G)
+    gx, gy, gz = np.meshgrid(ii, ii, ii, indexing="ij")
+    bx = gx.reshape(-1).astype(np.float32)
+    by = gy.reshape(-1).astype(np.float32)
+    bz = gz.reshape(-1).astype(np.float32)
+    chunk = 1 << 19
+    grids = []
+    for m in range(n_cascades):
+        out = np.empty(bx.shape[0], np.float32)
+        for i in range(0, bx.shape[0], chunk):
+            vis = visible_chunk(
+                jnp.asarray(bx[i : i + chunk]),
+                jnp.asarray(by[i : i + chunk]),
+                jnp.asarray(bz[i : i + chunk]),
+                jnp.int32(m),
+            )
+            out[i : i + chunk] = np.where(np.asarray(vis), 0.0, -1.0)
+        grids.append(out.reshape(G, G, G))
+    return jnp.asarray(np.stack(grids))

@@ -140,6 +140,10 @@ class NerfTask:
         self.training_step = 0
         self._key = jax.random.PRNGKey(seed ^ 0xBEEF)
         self._loss_ema = None
+        # Optional device mesh: when set, ray batches are sharded along
+        # its 'data' axis inside the jitted train step (params + grid
+        # replicated; XLA inserts the gradient all-reduce over ICI).
+        self.mesh = None
 
         self._jit_train_step = jax.jit(self._train_step)
         self._jit_update_grid = jax.jit(self._update_grid, static_argnames=("full",))
@@ -223,6 +227,13 @@ class NerfTask:
             w, h = self.dataset.resolution
             res = jnp.array([w, h], jnp.float32)
             uv = (jnp.floor(uv * res) + 0.5) / res
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shard = NamedSharding(self.mesh, P("data"))
+            img_idx = jax.lax.with_sharding_constraint(img_idx, shard)
+            uv = jax.lax.with_sharding_constraint(uv, shard)
 
         o, d = self._generate_rays(img_idx, uv)
         jitter = jax.random.uniform(k_jit, (R,))
@@ -368,6 +379,9 @@ class NerfTask:
         )
         t, T, rgb, depth, alive, _ = jax.lax.while_loop(cond, body, init)
         return rgb, 1.0 - T, depth
+
+    def _render_rays_nokey(self, params, grid_bits, o, d):
+        return self._render_rays(params, grid_bits, o, d, jax.random.PRNGKey(0))
 
     def render(
         self,

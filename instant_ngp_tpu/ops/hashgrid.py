@@ -114,60 +114,29 @@ class GridEncoding:
         resolutions = np.array([l.resolution for l in lv], np.uint32)
         return scales, sizes, offsets, hashed, resolutions
 
-    def corner_indices_and_weights(self, x: jax.Array):
-        """Compute gather indices and interpolation weights.
+    def _level_corner_index(self, level: GridLevelSpec, grid_coords, corner_bits):
+        """Global table index for one level/corner.
 
-        Args:
-          x: (N, D) positions, nominally in [0, 1].
-        Returns:
-          idx: (N, L, C) int32 global indices into the flat table.
-          w:   (N, L, C) float32 interpolation weights.
+        grid_coords: list of D (N,) int32 floor coords; corner_bits: D
+        python ints in {0,1}. Rank-1 math throughout — on TPU, (N,)
+        arrays put N in the lane dim; higher-rank small trailing dims
+        would be tile-padded to (8,128) and blow up memory 40×.
         """
-        D, L = self.n_dims, self.n_levels
-        C = 1 << D
-        scales, sizes, offsets, hashed, resolutions = self._static_arrays()
-
-        pos = x[:, None, :] * jnp.asarray(scales)[None, :, None] + 0.5  # (N, L, D)
-        pos_floor = jnp.floor(pos)
-        frac = pos - pos_floor
-        grid = pos_floor.astype(jnp.int32)  # (N, L, D)
-
-        bits = np.array(
-            [[(c >> d) & 1 for d in range(D)] for c in range(C)], np.int32
-        )  # (C, D)
-
-        corner = grid[:, :, None, :] + jnp.asarray(bits)[None, None, :, :]  # (N,L,C,D)
-        corner_u = corner.astype(jnp.uint32)
-
-        # Dense (stride) index and hash index; select per level.
-        res_u = jnp.asarray(resolutions.astype(np.int64).astype(np.uint32))  # (L,)
-        stride = jnp.ones((L,), jnp.uint32)
-        dense_idx = jnp.zeros(corner_u.shape[:3], jnp.uint32)
-        hash_idx = jnp.zeros(corner_u.shape[:3], jnp.uint32)
-        for d in range(D):
-            dense_idx = dense_idx + corner_u[..., d] * stride[None, :, None]
-            hash_idx = hash_idx ^ (corner_u[..., d] * np.uint32(_PRIMES[d] & 0xFFFFFFFF))
-            stride = stride * res_u
-
-        hashed_j = jnp.asarray(hashed)[None, :, None]
-        sizes_j = jnp.asarray(sizes)[None, :, None]
-        local = jnp.where(hashed_j, hash_idx, dense_idx) % sizes_j
-        idx = (local + jnp.asarray(offsets)[None, :, None]).astype(jnp.int32)  # (N,L,C)
-
-        if self.interpolation == "smoothstep":
-            frac_w = frac * frac * (3.0 - 2.0 * frac)
-        elif self.interpolation == "nearest":
-            frac_w = jnp.round(frac)
+        D = self.n_dims
+        if level.hashed:
+            idx = jnp.zeros_like(grid_coords[0], dtype=jnp.uint32)
+            for d in range(D):
+                c = (grid_coords[d] + corner_bits[d]).astype(jnp.uint32)
+                idx = idx ^ (c * np.uint32(_PRIMES[d] & 0xFFFFFFFF))
         else:
-            frac_w = frac
-        bits_f = jnp.asarray(bits, jnp.float32)  # (C, D)
-        # weight = prod_d bits ? frac : (1-frac)
-        w = jnp.prod(
-            bits_f[None, None, :, :] * frac_w[:, :, None, :]
-            + (1.0 - bits_f[None, None, :, :]) * (1.0 - frac_w[:, :, None, :]),
-            axis=-1,
-        )  # (N, L, C)
-        return idx, w
+            idx = jnp.zeros_like(grid_coords[0], dtype=jnp.uint32)
+            stride = 1
+            for d in range(D):
+                c = (grid_coords[d] + corner_bits[d]).astype(jnp.uint32)
+                idx = idx + c * np.uint32(stride)
+                stride *= level.resolution
+        idx = idx % np.uint32(level.size)
+        return (idx + np.uint32(level.offset)).astype(jnp.int32)
 
     def __call__(
         self,
@@ -186,20 +155,74 @@ class GridEncoding:
         Returns:
           (N, L*F) features, level-major.
         """
-        N = x.shape[0]
+        D = self.n_dims
         L, F = self.n_levels, self.n_features_per_level
-        idx, w = self.corner_indices_and_weights(x)
-        feats = jnp.take(params, idx.reshape(N, -1), axis=0).reshape(N, L, -1, F)
-        out = jnp.sum(feats * w[..., None].astype(params.dtype), axis=2)  # (N, L, F)
+        C = 1 << D
+        xs = [x[:, d] for d in range(D)]  # D × (N,)
+
+        outs = []
+        for li, level in enumerate(self.levels):
+            pos = [xd * np.float32(level.scale) + 0.5 for xd in xs]
+            floor = [jnp.floor(p) for p in pos]
+            frac = [p - f for p, f in zip(pos, floor)]
+            if self.interpolation == "smoothstep":
+                frac = [t * t * (3.0 - 2.0 * t) for t in frac]
+            elif self.interpolation == "nearest":
+                frac = [jnp.round(t) for t in frac]
+            grid = [f.astype(jnp.int32) for f in floor]
+
+            acc = None
+            for c in range(C):
+                bits = [(c >> d) & 1 for d in range(D)]
+                idx = self._level_corner_index(level, grid, bits)
+                w = None
+                for d in range(D):
+                    wd = frac[d] if bits[d] else (1.0 - frac[d])
+                    w = wd if w is None else w * wd
+                feats = jnp.take(params, idx, axis=0)  # (N, F)
+                term = feats * w[:, None].astype(params.dtype)
+                acc = term if acc is None else acc + term
+            outs.append(acc)
+        out = jnp.concatenate(outs, axis=-1)  # (N, L*F)
         if max_level is not None:
             max_level = jnp.asarray(max_level)
-            lvl = jnp.arange(L, dtype=jnp.float32)
+            lvl = jnp.repeat(jnp.arange(L, dtype=jnp.float32), F)
             if max_level.ndim == 0:
                 mask = lvl[None, :] < max_level * L
             else:
                 mask = lvl[None, :] < max_level[:, None] * L
-            out = out * mask[..., None].astype(out.dtype)
-        return out.reshape(N, L * F).astype(compute_dtype)
+            out = out * mask.astype(out.dtype)
+        return out.astype(compute_dtype)
+
+    # retained for tests / diagnostics
+    def corner_indices_and_weights(self, x: jax.Array):
+        """(N, L, C) global indices + interpolation weights (small-N
+        diagnostic path; the forward uses the rank-1 formulation)."""
+        D, L = self.n_dims, self.n_levels
+        C = 1 << D
+        xs = [x[:, d] for d in range(D)]
+        idx_levels, w_levels = [], []
+        for level in self.levels:
+            pos = [xd * np.float32(level.scale) + 0.5 for xd in xs]
+            floor = [jnp.floor(p) for p in pos]
+            frac = [p - f for p, f in zip(pos, floor)]
+            if self.interpolation == "smoothstep":
+                frac = [t * t * (3.0 - 2.0 * t) for t in frac]
+            elif self.interpolation == "nearest":
+                frac = [jnp.round(t) for t in frac]
+            grid = [f.astype(jnp.int32) for f in floor]
+            idx_c, w_c = [], []
+            for c in range(C):
+                bits = [(c >> d) & 1 for d in range(D)]
+                idx_c.append(self._level_corner_index(level, grid, bits))
+                w = None
+                for d in range(D):
+                    wd = frac[d] if bits[d] else (1.0 - frac[d])
+                    w = wd if w is None else w * wd
+                w_c.append(w)
+            idx_levels.append(jnp.stack(idx_c, -1))
+            w_levels.append(jnp.stack(w_c, -1))
+        return jnp.stack(idx_levels, 1), jnp.stack(w_levels, 1)
 
 
 def grid_encoding_from_config(cfg: dict, n_dims: int) -> GridEncoding:

@@ -69,8 +69,10 @@ def calc_dt(t, cone_angle):
 
 def distance_to_next_voxel(pos, dir, idir, res):
     """DDA-like step distance (nerf_device.cuh:360-368).
-    pos, dir, idir: (..., 3); res: scalar voxels across [0,1]."""
-    p = res * (pos - 0.5)
+    pos, dir, idir: (..., 3); res: scalar or (...) voxels across [0,1]."""
+    res = jnp.asarray(res, jnp.float32)
+    res_b = res[..., None] if res.ndim else res
+    p = res_b * (pos - 0.5)
     sign_d = jnp.sign(dir)
     t_ax = (jnp.floor(p + 0.5 + 0.5 * sign_d) - p) * idir
     # Axis-aligned rays: the reference gets 0·inf=NaN which fminf

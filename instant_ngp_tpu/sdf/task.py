@@ -1,0 +1,310 @@
+"""SDF primitive: mesh → neural signed-distance field.
+
+Parity targets (reference testbed_sdf.cu, SURVEY.md §2.4):
+  * mesh load + normalization into the unit cube (:1363-1447)
+  * online GT sampling per batch: 4/8 on-surface (d=0), 3/8 surface +
+    perturbation, 1/8 uniform; BVH signed distance for the perturbed +
+    uniform parts (generate_training_samples_sdf :1449-1535)
+  * MAPE loss, tcnn trainer semantics (:1578-1619)
+  * sphere-traced rendering with finite-difference or autodiff normals
+    and a Disney-ish BRDF (:798-959, :1108-1361)
+  * IoU metric: sign agreement on uniform samples (:1636-1680)
+
+TPU split: GT generation (BVH queries) runs on host C++ threads while
+the jitted train step consumes the previous batch — a two-stage
+pipeline replacing the reference's CUDA-stream overlap.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.bvh import TriangleBvh
+from ..geometry.mesh_io import load_mesh, normalize_to_unit_cube
+from ..models.factory import autoconfig_grid_encoding
+from ..models.network import NetworkWithInputEncoding
+from ..ops.losses import loss_fn, loss_type_from_string
+from ..ops.optimizers import optimizer_from_config
+
+
+class SdfTask:
+    def __init__(
+        self,
+        mesh_path_or_tris,
+        config: dict,
+        seed: int = 1337,
+        batch_size: int = 1 << 16,
+        sdf_mode: str = "pseudonormal",
+    ):
+        if isinstance(mesh_path_or_tris, (str, bytes)) or hasattr(mesh_path_or_tris, "__fspath__"):
+            tris = load_mesh(mesh_path_or_tris)
+        else:
+            tris = np.asarray(mesh_path_or_tris, np.float32)
+        self.triangles, self.mesh_scale, self.mesh_offset = normalize_to_unit_cube(tris)
+        self.bvh = TriangleBvh(self.triangles)
+        self.sdf_mode = sdf_mode
+        self.batch_size = batch_size
+
+        # area-weighted triangle CDF for surface sampling (reference
+        # DiscreteDistribution, discrete_distribution.h)
+        e1 = self.triangles[:, 1] - self.triangles[:, 0]
+        e2 = self.triangles[:, 2] - self.triangles[:, 0]
+        areas = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+        self.tri_cdf = np.cumsum(areas) / max(areas.sum(), 1e-12)
+
+        config = dict(config)
+        config["encoding"] = autoconfig_grid_encoding(config.get("encoding", {}), "sdf")
+        self.config = config
+        self.model = NetworkWithInputEncoding.from_config(config, n_input_dims=3, n_output_dims=1)
+        self.loss = loss_fn(loss_type_from_string(config.get("loss", {}).get("otype", "Mape")))
+
+        key = jax.random.PRNGKey(seed)
+        self.params = self.model.init(key)
+        self.opt = optimizer_from_config(
+            config.get("optimizer", {}), matrix_mask=self.model.matrix_mask(self.params)
+        )
+        self.opt_state = self.opt.init(self.params)
+        self.training_step = 0
+        self._rng = np.random.default_rng(seed)
+        self._iou_ema = None
+
+        self._jit_step = jax.jit(self._step)
+        self._jit_infer = jax.jit(lambda p, x: self.model(p, x).astype(jnp.float32)[:, 0])
+
+    # ------------------------------------------------------------------
+    def _sample_surface(self, n: int) -> np.ndarray:
+        u = self._rng.random(n)
+        ti = np.searchsorted(self.tri_cdf, u)
+        ti = np.clip(ti, 0, len(self.triangles) - 1)
+        b1 = self._rng.random(n)
+        b2 = self._rng.random(n)
+        flip = b1 + b2 > 1
+        b1 = np.where(flip, 1 - b1, b1)
+        b2 = np.where(flip, 1 - b2, b2)
+        t = self.triangles[ti]
+        return (
+            t[:, 0]
+            + (t[:, 1] - t[:, 0]) * b1[:, None]
+            + (t[:, 2] - t[:, 0]) * b2[:, None]
+        ).astype(np.float32)
+
+    def generate_training_batch(self):
+        """Reference mix: 4/8 surface, 3/8 perturbed (logistic noise),
+        1/8 uniform (testbed_sdf.cu:1449-1535)."""
+        n = self.batch_size
+        n_surf = n // 2
+        n_pert = n * 3 // 8
+        n_unif = n - n_surf - n_pert
+
+        surf = self._sample_surface(n_surf + n_pert)
+        pts_surf = surf[:n_surf]
+        # logistic-distributed perturbation, stddev ~ 1/sqrt(3)*scale
+        u = np.clip(self._rng.random((n_pert, 3)), 1e-6, 1 - 1e-6)
+        logistic = 0.01 * np.log(u / (1 - u)).astype(np.float32)
+        pts_pert = np.clip(surf[n_surf:] + logistic, 0.0, 1.0)
+        pts_unif = self._rng.random((n_unif, 3)).astype(np.float32)
+
+        pts = np.concatenate([pts_surf, pts_pert, pts_unif]).astype(np.float32)
+        d = np.zeros(n, np.float32)
+        nontrivial = np.concatenate([pts_pert, pts_unif])
+        d[n_surf:] = self.bvh.signed_distance(nontrivial, mode=self.sdf_mode)
+        # shuffle (reference shuffles positions/distances)
+        perm = self._rng.permutation(n)
+        return pts[perm], d[perm]
+
+    def _step(self, params, opt_state, pts, target):
+        def loss_value(p):
+            pred = self.model(p, pts).astype(jnp.float32)[:, 0]
+            return jnp.mean(self.loss(target, pred))
+
+        loss, grads = jax.value_and_grad(loss_value)(params)
+        params, opt_state = self.opt.update(grads, opt_state, params)
+        return params, opt_state, loss
+
+    def _batch_producer(self):
+        """Background GT generation: the single-core BVH queries run
+        while the TPU consumes the previous batch (the reference's
+        CUDA-stream overlap, recast as a host pipeline thread)."""
+        import queue
+        import threading
+
+        if not hasattr(self, "_queue"):
+            self._queue = queue.Queue(maxsize=2)
+
+            def worker():
+                while not getattr(self, "_stop", False):
+                    batch = self.generate_training_batch()
+                    self._queue.put(batch)
+
+            self._thread = threading.Thread(target=worker, daemon=True)
+            self._thread.start()
+        return self._queue
+
+    def train(self, n_steps: int = 1) -> float:
+        q = self._batch_producer()
+        loss = None
+        last = None
+        for _ in range(n_steps):
+            try:
+                # reuse the last batch if the producer hasn't caught up
+                # (a TPU-side step is much faster than host BVH queries)
+                last = q.get(block=last is None, timeout=60.0)
+            except Exception:
+                pass
+            pts, d = last
+            self.params, self.opt_state, loss = self._jit_step(
+                self.params, self.opt_state, jnp.asarray(pts), jnp.asarray(d)
+            )
+            self.training_step += 1
+        return float(loss) if loss is not None else 0.0
+
+    # ------------------------------------------------------------------
+    @property
+    def inference_params(self):
+        return self.opt.inference_params(self.opt_state, self.params)
+
+    def sdf(self, points: np.ndarray) -> np.ndarray:
+        out = []
+        pts = np.asarray(points, np.float32).reshape(-1, 3)
+        chunk = 1 << 18
+        params = self.inference_params
+        n = len(pts)
+        n_pad = (n + chunk - 1) // chunk * chunk
+        pts = np.pad(pts, ((0, n_pad - n), (0, 0)))
+        for i in range(0, n_pad, chunk):
+            out.append(np.asarray(self._jit_infer(params, jnp.asarray(pts[i : i + chunk]))))
+        return np.concatenate(out)[:n]
+
+    def calculate_iou(self, n_samples: int = 1 << 21) -> float:
+        """Sign agreement on uniform samples (reference calculate_iou,
+        testbed_sdf.cu:1636-1680)."""
+        pts = np.random.default_rng(4242).random((n_samples, 3)).astype(np.float32)
+        gt_inside = self.bvh.signed_distance(pts, mode=self.sdf_mode) < 0
+        pred_inside = self.sdf(pts) < 0
+        inter = np.sum(gt_inside & pred_inside)
+        union = np.sum(gt_inside | pred_inside)
+        return float(inter) / max(float(union), 1.0)
+
+    # ------------------------------------------------------------------
+    def render(
+        self,
+        width: int,
+        height: int,
+        camera_matrix: np.ndarray,
+        fov: float = 50.0,
+        n_trace_steps: int = 96,
+        light_dir=(0.4, -0.7, 0.6),
+        ground_truth: bool = False,
+    ) -> np.ndarray:
+        """Sphere-trace the learned SDF → shaded (H, W, 4).
+
+        TPU recast of SphereTracer::trace (testbed_sdf.cu:798-959): all
+        rays advance in lockstep inside one jitted while_loop; finished
+        rays are masked instead of compacted.
+        """
+        cam = np.asarray(camera_matrix, np.float32)
+        fl = 0.5 * height / math.tan(0.5 * math.radians(fov))
+        ys, xs = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+        u = (xs + 0.5) / width - 0.5
+        v = (ys + 0.5) / height - 0.5
+        dirs = np.stack([u * width / fl, v * height / fl, np.ones_like(u)], -1)
+        d = dirs @ cam[:, :3].T
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        o = np.broadcast_to(cam[:, 3], d.shape)
+
+        if ground_truth:
+            t, tri = self.bvh.raytrace(o.reshape(-1, 3), d.reshape(-1, 3))
+            hit = np.isfinite(t)
+            pos = o.reshape(-1, 3) + t[:, None] * d.reshape(-1, 3)
+            tris = self.triangles[np.maximum(tri, 0)]
+            n = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+            n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+            rgb = self._shade(pos, n, d.reshape(-1, 3), np.asarray(light_dir))
+            rgb = np.where(hit[:, None], rgb, 0.0)
+            return np.concatenate([rgb, hit[:, None].astype(np.float32)], -1).reshape(
+                height, width, 4
+            )
+
+        params = self.inference_params
+        rgb, alpha = self._jit_render(
+            params, jnp.asarray(o.reshape(-1, 3)), jnp.asarray(d.reshape(-1, 3)),
+            jnp.asarray(light_dir, jnp.float32), jnp.int32(n_trace_steps),
+        )
+        frame = np.concatenate(
+            [np.asarray(rgb), np.asarray(alpha)[:, None]], -1
+        ).reshape(height, width, 4)
+        return frame
+
+    def _shade(self, pos, normal, view, light_dir):
+        l = np.asarray(light_dir, np.float32)
+        l = l / np.linalg.norm(l)
+        ndl = np.clip((normal * l).sum(-1, keepdims=True), 0, 1)
+        h = l - view
+        h /= np.maximum(np.linalg.norm(h, axis=-1, keepdims=True), 1e-9)
+        spec = np.clip((normal * h).sum(-1, keepdims=True), 0, 1) ** 32
+        base = np.array([0.8, 0.7, 0.6], np.float32)
+        return np.clip(base * (0.15 + 0.85 * ndl) + 0.25 * spec, 0, 1)
+
+    @property
+    def _jit_render(self):
+        if not hasattr(self, "_jit_render_fn"):
+            from functools import partial
+
+            aabb_min, aabb_max = 0.0, 1.0
+
+            def sdf_fn(params, x):
+                return self.model(params, x).astype(jnp.float32)[:, 0]
+
+            def render(params, o, d, light, n_steps):
+                from ..ops.raymarch import ray_intersect_aabb
+
+                tmin, tmax = ray_intersect_aabb(
+                    o, d, jnp.zeros(3), jnp.ones(3)
+                )
+                hit_box = tmin < tmax
+
+                def body(carry):
+                    t, alive, it = carry
+                    pos = o + t[:, None] * d
+                    dist = sdf_fn(params, pos)
+                    t_new = jnp.where(alive, t + dist, t)
+                    done = (jnp.abs(dist) < 5e-4) | (t_new > tmax)
+                    return (t_new, alive & ~done, it + 1)
+
+                def cond(carry):
+                    _, alive, it = carry
+                    return jnp.any(alive) & (it < n_steps)
+
+                t, alive, _ = jax.lax.while_loop(
+                    cond, body, (tmin, hit_box, jnp.int32(0))
+                )
+                pos = o + t[:, None] * d
+                final = sdf_fn(params, pos)
+                hit = hit_box & (jnp.abs(final) < 2e-3) & (t <= tmax)
+
+                # autodiff normals (reference uses input_gradient or
+                # 6-tap finite differences; autodiff is exact here)
+                grad_fn = jax.vmap(
+                    jax.grad(lambda x: self.model(params, x[None]).astype(jnp.float32)[0, 0])
+                )
+                normal = grad_fn(pos)
+                normal = normal / jnp.maximum(
+                    jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9
+                )
+                l = light / jnp.linalg.norm(light)
+                ndl = jnp.clip(jnp.sum(normal * l, -1, keepdims=True), 0, 1)
+                h = l - d
+                h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-9)
+                spec = jnp.clip(jnp.sum(normal * h, -1, keepdims=True), 0, 1) ** 32
+                base = jnp.asarray([0.8, 0.7, 0.6])
+                rgb = jnp.clip(base * (0.15 + 0.85 * ndl) + 0.25 * spec, 0, 1)
+                rgb = jnp.where(hit[:, None], rgb, 0.0)
+                return rgb, hit.astype(jnp.float32)
+
+            self._jit_render_fn = jax.jit(render)
+        return self._jit_render_fn

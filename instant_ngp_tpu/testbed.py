@@ -1,0 +1,315 @@
+"""Testbed — the orchestrator, mirroring the reference's `Testbed` class
+(testbed.h:71, testbed.cu) and the pyngp Python API surface
+(python_api.cu:439-870) so scripts/run.py-style drivers work unchanged.
+
+Owns: mode, scene/dataset, network config, the per-mode task object
+(train/render loops), camera state, frame loop with EMA timing meters
+(reference testbed.h:1023-1027), and snapshot save/load.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from .common import NERF_CASCADES, TestbedMode, linear_to_srgb, srgb_to_linear
+from .config import default_config, load_network_config
+from . import snapshot as snapshot_io
+
+
+def mode_from_scene(path: str) -> TestbedMode:
+    """reference common_host.cu:144-161."""
+    p = Path(path)
+    if p.is_dir() or p.suffix == ".json":
+        return TestbedMode.NERF
+    if p.suffix in (".obj", ".stl"):
+        return TestbedMode.SDF
+    if p.suffix in (".nvdb",):
+        return TestbedMode.VOLUME
+    if p.suffix.lower() in (".exr", ".png", ".jpg", ".jpeg", ".bmp", ".tga", ".bin"):
+        return TestbedMode.IMAGE
+    return TestbedMode.NONE
+
+
+class Ema:
+    """EMA meter (reference common_host.h:83-129)."""
+
+    def __init__(self, half_life: float = 50.0):
+        self.alpha = 0.5 ** (1.0 / half_life)
+        self.value = 0.0
+        self.n = 0
+
+    def update(self, v: float):
+        self.value = self.alpha * self.value + (1 - self.alpha) * v if self.n else v
+        self.n += 1
+
+    def val(self) -> float:
+        return self.value
+
+
+class Testbed:
+    def __init__(self, mode: TestbedMode | str = TestbedMode.NONE):
+        if isinstance(mode, str):
+            mode = TestbedMode(mode.lower())
+        self.mode = mode
+        self.task = None
+        self.network_config: dict = {}
+        self.network_config_path: Optional[Path] = None
+
+        # public knobs mirroring pyngp fields
+        self.shall_train = True
+        self.training_step = 0
+        self.training_batch_size = 1 << 18
+        self.background_color = np.array([1.0, 1.0, 1.0, 1.0], np.float32)
+        self.fov = 50.625
+        self.seed = 1337
+        self.nerf_min_transmittance = 1e-4
+        self.snap_to_pixel_centers = True
+        self.dynamic_res = False
+        self.dynamic_res_target_fps = 20.0
+        self.camera_matrix = np.concatenate(
+            [np.eye(3, dtype=np.float32), np.array([[0.5], [0.5], [-1.5]], np.float32)], axis=1
+        )
+        self.scale = 1.5
+        self.loss_graph: list[float] = []
+
+        # timing meters (reference testbed.h:1023-1027)
+        self.training_prep_ms = Ema()
+        self.training_ms = Ema()
+        self.render_ms = Ema()
+        self.frame_ms = Ema()
+
+        self._loss_scalar = Ema(half_life=10.0)
+
+    # ------------------------------------------------------------------
+    # loading
+    # ------------------------------------------------------------------
+    def load_file(self, path: str):
+        """Dispatch like reference load_file (testbed.cu:353-411):
+        snapshot → load_snapshot; else training data."""
+        p = Path(path)
+        if p.suffix in (".ingp", ".msgpack"):
+            self.load_snapshot(path)
+            return
+        self.load_training_data(path)
+
+    def load_training_data(self, path: str):
+        self.scene_path = str(path)
+        mode = mode_from_scene(path)
+        if mode == TestbedMode.NONE:
+            raise ValueError(f"cannot infer mode from scene path {path}")
+        self.mode = mode
+        if not self.network_config:
+            self.network_config = default_config(mode.value)
+        self._build_task()
+
+    def reload_network_from_file(self, config_path: str):
+        self.network_config_path = Path(config_path)
+        self.network_config = load_network_config(
+            config_path, mode=self.mode.value if self.mode != TestbedMode.NONE else None
+        )
+        if getattr(self, "scene_path", None):
+            self._build_task()
+
+    def reload_network_from_json(self, config: dict):
+        self.network_config = dict(config)
+        if getattr(self, "scene_path", None):
+            self._build_task()
+
+    def _build_task(self):
+        mode = self.mode
+        if mode == TestbedMode.IMAGE:
+            from .image_fit.task import ImageTask
+            from .io.image import load_image
+
+            img, is_hdr = load_image(self.scene_path)
+            self.task = ImageTask(
+                img, is_hdr, self.network_config, seed=self.seed,
+                batch_size=self.training_batch_size,
+            )
+        elif mode == TestbedMode.NERF:
+            from .io.nerf_loader import load_nerf
+            from .nerf.task import NerfTask
+
+            self.nerf_dataset = load_nerf(self.scene_path)
+            self.task = NerfTask(
+                self.nerf_dataset, self.network_config, seed=self.seed,
+                target_batch_size=self.training_batch_size,
+            )
+            # default view: first training camera
+            self.camera_matrix = self.nerf_dataset.xforms_start[0].copy()
+        elif mode == TestbedMode.SDF:
+            from .sdf.task import SdfTask
+
+            self.task = SdfTask(self.scene_path, self.network_config, seed=self.seed)
+        elif mode == TestbedMode.VOLUME:
+            from .volume.task import VolumeTask
+
+            self.task = VolumeTask(self.scene_path, self.network_config, seed=self.seed)
+        else:
+            raise ValueError(mode)
+        self.training_step = 0
+
+    # ------------------------------------------------------------------
+    # the heartbeat
+    # ------------------------------------------------------------------
+    def frame(self) -> bool:
+        """One tick: train step(s) (reference frame → train_and_render,
+        testbed.cu:3908-4034). Headless: rendering happens on demand."""
+        t0 = time.perf_counter()
+        if self.shall_train and self.task is not None:
+            loss = self.task.train(1)
+            self.training_step = self.task.training_step
+            self._loss_scalar.update(loss)
+            self.loss_graph.append(loss)
+        self.frame_ms.update((time.perf_counter() - t0) * 1000.0)
+        return True
+
+    def train(self, batch_size: Optional[int] = None):
+        self.frame()
+
+    @property
+    def loss(self) -> float:
+        return self._loss_scalar.val()
+
+    # ------------------------------------------------------------------
+    # rendering (headless render_to_cpu analog, python_api.cu:100-170)
+    # ------------------------------------------------------------------
+    def render(
+        self,
+        width: int,
+        height: int,
+        spp: int = 1,
+        linear: bool = True,
+        camera_matrix: Optional[np.ndarray] = None,
+        fov: Optional[float] = None,
+    ) -> np.ndarray:
+        t0 = time.perf_counter()
+        cam = camera_matrix if camera_matrix is not None else self.camera_matrix
+        if self.mode == TestbedMode.IMAGE:
+            rgb = self.task.render(width, height)
+            frame = np.concatenate([rgb, np.ones((*rgb.shape[:2], 1), np.float32)], -1)
+        elif self.mode == TestbedMode.NERF:
+            frame = self.task.render(
+                width,
+                height,
+                cam,
+                fov=fov or self.fov,
+                spp=spp,
+                background=tuple(self.background_color),
+            )
+            if not linear:
+                # model output is sRGB for LDR scenes already
+                pass
+        elif self.mode in (TestbedMode.SDF, TestbedMode.VOLUME):
+            frame = self.task.render(width, height, cam, fov=fov or self.fov)
+        else:
+            raise ValueError(self.mode)
+        self.render_ms.update((time.perf_counter() - t0) * 1000.0)
+        return frame
+
+    def set_camera_to_training_view(self, i: int):
+        ds = self.nerf_dataset
+        self.camera_matrix = ds.xforms_start[i].copy()
+        self._view_index = i
+
+    # ------------------------------------------------------------------
+    # snapshots
+    # ------------------------------------------------------------------
+    def save_snapshot(self, path: str, include_optimizer_state: bool = False):
+        task = self.task
+        density_grid = None
+        nerf_extra = None
+        if self.mode == TestbedMode.NERF:
+            density_grid = np.asarray(task.state.grid.density)
+            nerf_extra = {
+                "aabb_scale": task.dataset.aabb_scale,
+                "rgb": {"rays_per_batch": task.n_rays_per_batch},
+            }
+            params = task.state.params
+            step = task.training_step
+        else:
+            params = task.params
+            step = task.training_step
+        snapshot_io.save_snapshot(
+            path,
+            self.network_config,
+            jax_to_np_tree(params),
+            self.mode.value,
+            training_step=step,
+            loss=self.loss,
+            density_grid=density_grid,
+            nerf_extra=nerf_extra,
+            camera={"matrix": np.asarray(self.camera_matrix).tolist(), "fov_axis": 1},
+        )
+
+    def load_snapshot(self, path: str):
+        doc = snapshot_io.load_snapshot_file(path)
+        snap = doc["snapshot"]
+        self.network_config = {k: v for k, v in doc.items() if k != "snapshot"}
+        mode = TestbedMode(snap["mode"])
+        self.mode = mode
+        if self.task is None:
+            if not getattr(self, "scene_path", None):
+                raise RuntimeError(
+                    "load_snapshot before load_training_data requires a scene; "
+                    "load training data first (dataset payload restore is TODO)"
+                )
+        import jax.numpy as jnp
+
+        if mode == TestbedMode.NERF:
+            task = self.task
+            params = snapshot_io.restore_params(snap, jax_to_np_tree(task.state.params))
+            params = np_to_jax_tree(params)
+            grid = snapshot_io.restore_density_grid(snap, task.max_cascade + 1)
+            import dataclasses as dc
+
+            from .nerf.occupancy import _bitfield_from_density
+
+            gstate = task.state.grid
+            if grid is not None:
+                density = jnp.asarray(grid)
+                mean = jnp.mean(jnp.maximum(density[0], 0.0))
+                gstate = dc.replace(
+                    gstate,
+                    density=density,
+                    mean_density=mean,
+                    bitfield=_bitfield_from_density(density, mean),
+                )
+            task.state = dc.replace(
+                task.state, params=params, opt_state=task.opt.init(params), grid=gstate
+            )
+            task.training_step = int(snap.get("training_step", 0))
+            self.training_step = task.training_step
+        else:
+            task = self.task
+            params = snapshot_io.restore_params(snap, jax_to_np_tree(task.params))
+            task.params = np_to_jax_tree(params)
+            task.opt_state = task.opt.init(task.params)
+            task.training_step = int(snap.get("training_step", 0))
+            self.training_step = task.training_step
+
+    # convenience metrics endpoints (parity with python_api.cu bindings)
+    def compute_image_mse(self, quantize_to_byte: bool = False) -> float:
+        return self.task.compute_mse(quantize_to_byte)
+
+    def calculate_iou(self, n_samples: int = 128**3) -> float:
+        return self.task.calculate_iou(n_samples)
+
+
+def jax_to_np_tree(tree):
+    import jax
+
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def np_to_jax_tree(tree):
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(lambda x: jnp.asarray(x), tree)
