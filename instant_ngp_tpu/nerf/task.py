@@ -54,11 +54,19 @@ class NerfTrainState:
     params: dict
     opt_state: dict
     grid: OccupancyGridState
+    cam: dict  # pose/exposure/focal/latent offsets (may be empty)
+    cam_opt: dict
+    error_map: jax.Array  # (n_images, EH, EW) accumulated ray losses
 
 
 jax.tree_util.register_dataclass(
-    NerfTrainState, data_fields=["params", "opt_state", "grid"], meta_fields=[]
+    NerfTrainState,
+    data_fields=["params", "opt_state", "grid", "cam", "cam_opt", "error_map"],
+    meta_fields=[],
 )
+
+ERROR_MAP_RES = (32, 32)  # (EH, EW); reference sizes its error map from
+# the ray budget (testbed_nerf.cu:2753-2760) — fixed here, same order.
 
 
 class NerfTask:
@@ -71,9 +79,17 @@ class NerfTask:
         n_rays_per_batch: int = 1 << 13,
         max_samples_per_ray: int = 48,
         n_march_iters: int = 256,
+        optimize_extrinsics: bool = False,
+        optimize_exposure: bool = False,
+        optimize_focal_length: bool = False,
+        use_error_map: bool = True,
     ):
         self.dataset = dataset
         self.config = dict(config)
+        self.optimize_extrinsics = optimize_extrinsics
+        self.optimize_exposure = optimize_exposure
+        self.optimize_focal_length = optimize_focal_length
+        self.use_error_map = use_error_map
 
         # AABB from aabb_scale (reference load_nerf_post,
         # testbed_nerf.cu:2425-2440): unit cube inflated around center.
@@ -129,7 +145,34 @@ class NerfTask:
             dataset.principal_points,
         )
         grid = dataclasses.replace(grid, density=culled)
-        self.state = NerfTrainState(params=params, opt_state=opt.init(params), grid=grid)
+
+        # camera-optimization params (reference reset_network:
+        # cam_pos/rot offsets Adam 1e-4, exposure 1e-3, focal 1e-5,
+        # per-image latent "extra dims"; testbed.cu:4268-4276)
+        n_img = dataset.n_images
+        cam = {
+            "rot": jnp.zeros((n_img, 3)),
+            "pos": jnp.zeros((n_img, 3)),
+            "exposure": jnp.zeros((n_img, 3)),
+            "focal": jnp.zeros((2,)),
+        }
+        if dataset.n_extra_learnable_dims > 0:
+            cam["extra"] = 0.1 * jax.random.normal(
+                jax.random.PRNGKey(seed ^ 0xE17A),
+                (n_img, dataset.n_extra_learnable_dims),
+            )
+        from ..ops.optimizers import Optimizer, OptimizerSpec
+
+        self.cam_opt = Optimizer(OptimizerSpec(
+            learning_rate=1e-4, beta1=0.9, beta2=0.99, epsilon=1e-8, l2_reg=0.0,
+            decay_start=0, decay_interval=2048, decay_base=0.33,
+        ))
+        eh, ew = ERROR_MAP_RES
+        self.state = NerfTrainState(
+            params=params, opt_state=opt.init(params), grid=grid,
+            cam=cam, cam_opt=self.cam_opt.init(cam),
+            error_map=jnp.ones((n_img, eh, ew)),
+        )
 
         # device-resident dataset tensors
         self.images = jnp.asarray(dataset.images)  # (N,H,W,4) uint8 or f16
@@ -165,29 +208,40 @@ class NerfTask:
         rgb = srgb_to_linear(rgba[:, :3]) * rgba[:, 3:4]
         return jnp.concatenate([rgb, rgba[:, 3:4]], axis=-1)
 
-    def _generate_rays(self, img_idx, uv):
-        """uv → world ray (reference uv_to_ray, common_device.cuh)."""
+    def _generate_rays(self, img_idx, uv, cam=None):
+        """uv → world ray with the dataset's lens model (reference
+        uv_to_ray, common_device.cuh:268-527), optionally perturbed by
+        trainable camera offsets (pose/focal optimization — gradients
+        flow through here via autodiff, replacing the reference's
+        hand-written ray-differentiation kernels)."""
+        from ..common import LensMode
+        from ..render.camera import so3_exp, uv_to_dir_cam
+
         w, h = self.dataset.resolution
         focal = self.focals[img_idx]  # (R,2)
         pp = self.principals[img_idx]
         xform = self.xforms[img_idx]  # (R,3,4)
-        dir_cam = jnp.stack(
-            [
-                (uv[:, 0] - pp[:, 0]) * w / focal[:, 0],
-                (uv[:, 1] - pp[:, 1]) * h / focal[:, 1],
-                jnp.ones_like(uv[:, 0]),
-            ],
-            axis=-1,
+        if cam is not None and self.optimize_focal_length:
+            focal = focal * (1.0 + cam["focal"])[None, :]
+        dir_cam = uv_to_dir_cam(
+            uv, (w, h), focal, pp,
+            lens_mode=LensMode(self.dataset.lens_mode),
+            lens_params=jnp.asarray(self.dataset.lens_params),
         )
-        d = jnp.einsum("rij,rj->ri", xform[:, :, :3], dir_cam)
+        R_mat = xform[:, :, :3]
         o = xform[:, :, 3]
+        if cam is not None and self.optimize_extrinsics:
+            R_off = so3_exp(cam["rot"][img_idx])  # (R,3,3)
+            R_mat = jnp.einsum("rij,rjk->rik", R_off, R_mat)
+            o = o + cam["pos"][img_idx]
+        d = jnp.einsum("rij,rj->ri", R_mat, dir_cam)
         d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
         return o, d
 
     # ------------------------------------------------------------------
     # training
     # ------------------------------------------------------------------
-    def _composite(self, params, o, d, ts, dts, valid, bg_srgb, max_level=None):
+    def _composite(self, params, o, d, ts, dts, valid, bg_srgb, max_level=None, extra=None):
         """Forward + parallel compositing. Returns per-ray rgb and aux."""
         R, K = ts.shape
         pos = o[:, None, :] + ts[..., None] * d[:, None, :]  # (R,K,3)
@@ -198,8 +252,14 @@ class NerfTask:
         dir_w = warp_direction(d)  # (R,3)
         dirs = jnp.broadcast_to(dir_w[:, None, :], pos.shape)
 
+        extra_s = None
+        if extra is not None:
+            extra_s = jnp.broadcast_to(
+                extra[:, None, :], (R, K, extra.shape[-1])
+            ).reshape(R * K, -1)
         out = self.model(
-            params, pos_w.reshape(R * K, 3), dirs.reshape(R * K, 3), max_level=max_level
+            params, pos_w.reshape(R * K, 3), dirs.reshape(R * K, 3),
+            extra=extra_s, max_level=max_level,
         ).reshape(R, K, 4)
         rgb = network_to_rgb(out[..., :3].astype(jnp.float32), self.rgb_activation)
         sigma = network_to_density(out[..., 3].astype(jnp.float32), self.density_activation)
@@ -217,12 +277,50 @@ class NerfTask:
         rgb_ray = rgb_ray + jnp.where(T_final >= EPS_T, T_final, 0.0)[:, None] * bg_srgb
         return rgb_ray, depth_ray, weight, T_final
 
+    def _sample_pixels(self, state, key, R):
+        """Pick (image, uv) pairs: 50% uniform, 50% from the error-map
+        CDF (reference UNIFORM_SAMPLING_FRACTION, nerf_device.cuh:497;
+        sample_cdf_2d :499-551 — recast as one flat inverse-CDF draw
+        over (image, cell) with in-cell jitter)."""
+        k_img, k_uv, k_mix, k_cell = jax.random.split(key, 4)
+        n_img = self.images.shape[0]
+        w, h = self.dataset.resolution
+        img_u = jax.random.randint(k_img, (R,), 0, n_img)
+        uv_u = jax.random.uniform(k_uv, (R, 2))
+        if not self.use_error_map:
+            pdf = jnp.ones((R,))
+            return img_u, uv_u, pdf
+
+        eh, ew = ERROR_MAP_RES
+        flat_err = jnp.maximum(state.error_map.reshape(-1), 1e-10)
+        cdf = jnp.cumsum(flat_err)
+        total = cdf[-1]
+        u = jax.random.uniform(k_cell, (R,)) * total
+        cell = jnp.clip(jnp.searchsorted(cdf, u), 0, flat_err.shape[0] - 1)
+        img_e = cell // (eh * ew)
+        cy = (cell // ew) % eh
+        cx = cell % ew
+        jit = jax.random.uniform(k_uv, (R, 2))
+        uv_e = jnp.stack([(cx + jit[:, 0]) / ew, (cy + jit[:, 1]) / eh], -1)
+
+        use_err = jax.random.uniform(k_mix, (R,)) >= 0.5
+        img_idx = jnp.where(use_err, img_e, img_u)
+        uv = jnp.where(use_err[:, None], uv_e, uv_u)
+        # relative sampling density vs uniform (for unbiased error-map
+        # deposits; the reference deliberately does NOT reweigh the
+        # gradient — testbed_nerf.cu:1035-1039)
+        n_cells = flat_err.shape[0]
+        p_err = flat_err[cell] / total * n_cells
+        pdf = 0.5 + 0.5 * jnp.where(use_err, p_err, flat_err[
+            (img_u * eh + jnp.clip((uv_u[:, 1] * eh).astype(jnp.int32), 0, eh - 1)) * ew
+            + jnp.clip((uv_u[:, 0] * ew).astype(jnp.int32), 0, ew - 1)
+        ] / total * n_cells)
+        return img_idx, uv, pdf
+
     def _train_step(self, state: NerfTrainState, key, step):
         R = self.n_rays_per_batch
-        k_img, k_uv, k_bg, k_jit = jax.random.split(key, 4)
-        n_img = self.images.shape[0]
-        img_idx = jax.random.randint(k_img, (R,), 0, n_img)
-        uv = jax.random.uniform(k_uv, (R, 2))
+        k_pix, k_bg, k_jit = jax.random.split(key, 3)
+        img_idx, uv, pdf = self._sample_pixels(state, k_pix, R)
         if self.snap_to_pixel_centers:
             w, h = self.dataset.resolution
             res = jnp.array([w, h], jnp.float32)
@@ -235,11 +333,12 @@ class NerfTask:
             img_idx = jax.lax.with_sharding_constraint(img_idx, shard)
             uv = jax.lax.with_sharding_constraint(uv, shard)
 
-        o, d = self._generate_rays(img_idx, uv)
+        # march with current (non-differentiated) camera params
+        o0, d0 = self._generate_rays(img_idx, uv, jax.lax.stop_gradient(state.cam))
         jitter = jax.random.uniform(k_jit, (R,))
         ts, dts, valid, _, n_valid = march_rays(
-            o,
-            d,
+            o0,
+            d0,
             state.grid.bitfield,
             jnp.asarray(self.aabb_min),
             jnp.asarray(self.aabb_max),
@@ -254,31 +353,74 @@ class NerfTask:
         else:
             bg_linear = jnp.zeros((R, 3))
 
-        if self.dataset.is_hdr:
-            target = texsamp[:, :3] + (1.0 - texsamp[:, 3:4]) * bg_linear
-            bg = bg_linear
-        else:
-            # sRGB color space (reference testbed_nerf.cu:995-999)
-            a = texsamp[:, 3:4]
-            bg = linear_to_srgb(bg_linear)
-            target = (
-                linear_to_srgb(texsamp[:, :3] / jnp.maximum(a, 1e-6))
-                * a
-                * jnp.where(a > 0, 1.0, 0.0)
-                + (1.0 - a) * bg
-            )
+        optimize_cam = (
+            self.optimize_extrinsics or self.optimize_exposure
+            or self.optimize_focal_length or "extra" in state.cam
+        )
 
-        def loss_value(params):
-            rgb_ray, _, _, _ = self._composite(params, o, d, ts, dts, valid, bg)
+        def loss_value(params, cam):
+            exposure_scale = 1.0
+            if self.optimize_exposure:
+                exposure_scale = jnp.exp(0.6931471805599453 * cam["exposure"][img_idx])
+            if self.dataset.is_hdr:
+                target = exposure_scale * texsamp[:, :3] + (1.0 - texsamp[:, 3:4]) * bg_linear
+                bg = bg_linear
+            else:
+                # sRGB color space (reference testbed_nerf.cu:995-999)
+                a = texsamp[:, 3:4]
+                bg = linear_to_srgb(bg_linear)
+                target = (
+                    linear_to_srgb(exposure_scale * texsamp[:, :3] / jnp.maximum(a, 1e-6))
+                    * a
+                    * jnp.where(a > 0, 1.0, 0.0)
+                    + (1.0 - a) * bg
+                )
+            if self.optimize_extrinsics or self.optimize_focal_length:
+                o, d = self._generate_rays(img_idx, uv, cam)
+            else:
+                o, d = o0, d0
+            extra = cam["extra"][img_idx] if "extra" in cam else None
+            rgb_ray, _, _, _ = self._composite(
+                params, o, d, ts, dts, valid, bg, extra=extra
+            )
             per_ray = jnp.mean(self.loss(target, rgb_ray), axis=-1)
             # rays with zero samples are dropped by the reference; they
             # still see pure-background here, which regularizes empty
             # space — keep them but they carry no density gradient.
-            return jnp.mean(per_ray)
+            return jnp.mean(per_ray), per_ray
 
-        loss, grads = jax.value_and_grad(loss_value)(state.params)
+        if optimize_cam:
+            (loss, per_ray), (grads, cam_grads) = jax.value_and_grad(
+                loss_value, argnums=(0, 1), has_aux=True
+            )(state.params, state.cam)
+            new_cam, new_cam_opt = self.cam_opt.update(
+                cam_grads, state.cam_opt, state.cam
+            )
+        else:
+            (loss, per_ray), grads = jax.value_and_grad(loss_value, has_aux=True)(
+                state.params, state.cam
+            )
+            new_cam, new_cam_opt = state.cam, state.cam_opt
+
         new_params, new_opt = self.opt.update(grads, state.opt_state, state.params)
-        new_state = NerfTrainState(params=new_params, opt_state=new_opt, grid=state.grid)
+
+        # error-map deposit (EMA decay + unbiased pdf-normalized add)
+        error_map = state.error_map
+        if self.use_error_map:
+            eh, ew = ERROR_MAP_RES
+            ex = jnp.clip((uv[:, 0] * ew).astype(jnp.int32), 0, ew - 1)
+            ey = jnp.clip((uv[:, 1] * eh).astype(jnp.int32), 0, eh - 1)
+            flat_idx = (img_idx * eh + ey) * ew + ex
+            deposit = per_ray / jnp.maximum(pdf, 1e-6)
+            error_map = error_map.reshape(-1) * 0.999
+            error_map = error_map.at[flat_idx].add(deposit).reshape(
+                state.error_map.shape
+            )
+
+        new_state = NerfTrainState(
+            params=new_params, opt_state=new_opt, grid=state.grid,
+            cam=new_cam, cam_opt=new_cam_opt, error_map=error_map,
+        )
         stats = {
             "loss": loss,
             "measured_samples": jnp.sum(n_valid),

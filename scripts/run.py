@@ -1,0 +1,160 @@
+#!/usr/bin/env python3
+"""Canonical training/eval driver — the TPU framework's equivalent of
+the reference scripts/run.py (train loop via testbed.frame(), PSNR/SSIM
+eval on --test_transforms with the reference protocol: black background,
+spp 8, min transmittance 1e-4, sRGB, snap-to-pixel-centers —
+run.py:257-317; defaults n_steps=35000, run.py:198)."""
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+try:
+    import _jaxcache  # noqa: F401
+except Exception:
+    pass
+
+import pyngp as ngp  # noqa: E402
+from instant_ngp_tpu.metrics import mse_to_psnr, ssim  # noqa: E402
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train/eval neural graphics primitives on TPU")
+    p.add_argument("--scene", "--training_data", default="", help="scene path (dir/json/obj/exr/nvdb)")
+    p.add_argument("--mode", default="", help="(deprecated; inferred from scene)")
+    p.add_argument("--network", default="", help="network config json")
+    p.add_argument("--load_snapshot", default="", help="load snapshot before training")
+    p.add_argument("--save_snapshot", default="", help="save snapshot after training")
+    p.add_argument("--n_steps", type=int, default=-1, help="training steps (default 35000)")
+    p.add_argument("--batch_size", type=int, default=1 << 18)
+    p.add_argument("--test_transforms", default="", help="transforms.json for PSNR eval")
+    p.add_argument("--screenshot_transforms", default="", help="render screenshots from transforms")
+    p.add_argument("--screenshot_frames", nargs="*", help="which frames to screenshot")
+    p.add_argument("--screenshot_dir", default="", help="output dir for screenshots")
+    p.add_argument("--screenshot_spp", type=int, default=16)
+    p.add_argument("--width", type=int, default=0)
+    p.add_argument("--height", type=int, default=0)
+    p.add_argument("--save_mesh", default="", help="marching-cubes mesh output path")
+    p.add_argument("--marching_cubes_res", type=int, default=256)
+    p.add_argument("--near_distance", type=float, default=-1)
+    p.add_argument("--exposure", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=1337)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    testbed = ngp.Testbed()
+    testbed.seed = args.seed
+    testbed.training_batch_size = args.batch_size
+
+    if args.network:
+        testbed.reload_network_from_file(args.network)
+    if args.scene:
+        testbed.load_training_data(args.scene)
+    if args.load_snapshot:
+        testbed.load_snapshot(args.load_snapshot)
+
+    n_steps = args.n_steps
+    if n_steps < 0:
+        n_steps = 35000
+
+    if n_steps > 0:
+        print(f"training {n_steps} steps...")
+        t0 = time.time()
+        last_print = 0
+        while testbed.training_step < n_steps:
+            testbed.frame()
+            if testbed.training_step - last_print >= 100:
+                last_print = testbed.training_step
+                el = time.time() - t0
+                print(
+                    f"iteration={testbed.training_step} loss={testbed.loss:.6f} "
+                    f"({testbed.training_step/el:.1f} steps/s)",
+                    flush=True,
+                )
+        print(f"trained in {time.time()-t0:.1f}s final loss={testbed.loss:.6f}")
+
+    if args.save_snapshot:
+        testbed.save_snapshot(args.save_snapshot)
+        print(f"saved snapshot {args.save_snapshot}")
+
+    if args.save_mesh:
+        from instant_ngp_tpu.geometry.marching_cubes import extract_mesh
+
+        verts, faces, colors = extract_mesh(testbed.task, res=args.marching_cubes_res)
+        from instant_ngp_tpu.geometry.mesh_io import save_obj, save_ply
+
+        if args.save_mesh.endswith(".ply"):
+            save_ply(args.save_mesh, verts, faces, colors)
+        else:
+            save_obj(args.save_mesh, verts, faces, colors)
+        print(f"saved mesh {args.save_mesh} ({len(verts)} verts, {len(faces)} faces)")
+
+    if args.test_transforms:
+        print(f"evaluating {args.test_transforms}")
+        with open(args.test_transforms) as f:
+            test = json.load(f)
+        from instant_ngp_tpu.io.nerf_loader import load_nerf
+        from instant_ngp_tpu.common import srgb_to_linear, linear_to_srgb
+
+        test_ds = load_nerf(args.test_transforms)
+        task = testbed.task
+        psnrs, ssims = [], []
+        for i in range(test_ds.n_images):
+            w, h = test_ds.resolution
+            frame = task.render(
+                w, h, test_ds.xforms_start[i],
+                focal_length=tuple(test_ds.focal_lengths[i]),
+                principal_point=tuple(test_ds.principal_points[i]),
+                spp=1, background=(0, 0, 0, 0),
+            )
+            img = test_ds.images[i].astype(np.float32)
+            if not test_ds.is_hdr:
+                img = img / 255.0
+                lin = np.asarray(srgb_to_linear(img[..., :3])) * img[..., 3:4]
+                gt = np.asarray(linear_to_srgb(lin))
+            else:
+                gt = np.asarray(linear_to_srgb(img[..., :3] ))
+            pred = np.clip(frame[..., :3], 0, 1)
+            mse = float(np.mean((pred - gt) ** 2))
+            psnrs.append(mse_to_psnr(mse))
+            ssims.append(ssim(gt, pred))
+            print(f"  view {i}: psnr={psnrs[-1]:.2f} ssim={ssims[-1]:.3f}", flush=True)
+        print(f"PSNR={np.mean(psnrs):.2f} [min={np.min(psnrs):.2f} max={np.max(psnrs):.2f}] "
+              f"SSIM={np.mean(ssims):.3f}")
+
+    if args.screenshot_transforms:
+        os.makedirs(args.screenshot_dir or ".", exist_ok=True)
+        shot_ds_path = args.screenshot_transforms
+        from instant_ngp_tpu.io.image import save_image
+        from instant_ngp_tpu.io.nerf_loader import load_nerf
+
+        shot_ds = load_nerf(shot_ds_path)
+        frames = (
+            [int(f) for f in args.screenshot_frames]
+            if args.screenshot_frames
+            else range(shot_ds.n_images)
+        )
+        for i in frames:
+            w = args.width or shot_ds.resolution[0]
+            h = args.height or shot_ds.resolution[1]
+            frame = testbed.task.render(
+                w, h, shot_ds.xforms_start[i],
+                focal_length=tuple(shot_ds.focal_lengths[i] * np.array([w, h]) / shot_ds.resolution),
+                principal_point=tuple(shot_ds.principal_points[i]),
+            )
+            out = Path(args.screenshot_dir or ".") / f"{i:04d}.png"
+            save_image(out, frame[..., :3])
+            print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
