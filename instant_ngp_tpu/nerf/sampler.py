@@ -82,9 +82,20 @@ def march_rays(
     idir = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d >= 0, 1e-12, -1e-12), d)
 
     inside = lambda pos: jnp.all((pos >= aabb_min) & (pos <= aabb_max), axis=-1)
+    rows = jnp.arange(R)
 
-    def step(carry, _):
-        t, n_emitted = carry
+    # NB: a lax.while_loop with a data-dependent condition, writing
+    # emitted samples straight into the (R, K) buckets. A scan of
+    # static length here gets fully unrolled by the TPU compiler
+    # (hundreds of gathers → pathological compile times) and would need
+    # a top-k compaction afterwards; the while formulation avoids both
+    # and exits early once every ray has terminated.
+    def cond(carry):
+        t, n_emitted, ts_buf, dts_buf, it, active = carry
+        return (it < cfg.n_march_iters) & active
+
+    def body(carry):
+        t, n_emitted, ts_buf, dts_buf, it, _ = carry
         pos = o + t[:, None] * d
         ok = inside(pos) & (t < MAX_DEPTH) & (n_emitted < K)
 
@@ -104,31 +115,29 @@ def march_rays(
             )
 
         emit = ok & occ
+        slot = jnp.clip(n_emitted, 0, K - 1)
+        ts_buf = ts_buf.at[rows, slot].set(jnp.where(emit, t, ts_buf[rows, slot]))
+        dts_buf = dts_buf.at[rows, slot].set(jnp.where(emit, dt, dts_buf[rows, slot]))
+
         t_next_occ = t + dt
         t_next_skip = advance_to_next_voxel(t, ca, pos, d, idir, skip_mip)
         t_next = jnp.where(ok, jnp.where(occ, t_next_occ, t_next_skip), t)
+        n_emitted = n_emitted + emit.astype(jnp.int32)
+        active = jnp.any(ok)
+        return (t_next, n_emitted, ts_buf, dts_buf, it + 1, active)
 
-        out_t = jnp.where(emit, t, 0.0)
-        out_dt = jnp.where(emit, dt, 0.0)
-        return (t_next, n_emitted + emit.astype(jnp.int32)), (out_t, out_dt, emit)
-
-    (t_exit, n_valid), (all_t, all_dt, all_emit) = jax.lax.scan(
-        step, (t0, jnp.zeros((R,), jnp.int32)), None, length=cfg.n_march_iters
+    init = (
+        t0,
+        jnp.zeros((R,), jnp.int32),
+        jnp.zeros((R, K), jnp.float32),
+        jnp.zeros((R, K), jnp.float32),
+        jnp.int32(0),
+        jnp.bool_(True),
     )
-    # (M, R) → (R, M)
-    all_t = all_t.T
-    all_dt = all_dt.T
-    all_emit = all_emit.T
-
-    # Compact the first K emitted samples per ray: rank emitted samples
-    # by iteration order using top_k on (emit, -index).
-    M = cfg.n_march_iters
-    order = jnp.arange(M, dtype=jnp.float32)
-    score = jnp.where(all_emit, M - order, -1.0)  # earlier → larger score
-    _, top_idx = jax.lax.top_k(score, K)  # (R, K) indices into M, ordered
-    ts = jnp.take_along_axis(all_t, top_idx, axis=1)
-    dts = jnp.take_along_axis(all_dt, top_idx, axis=1)
-    valid = jnp.take_along_axis(all_emit, top_idx, axis=1)
+    t_exit, n_valid, ts, dts, _, _ = jax.lax.while_loop(cond, body, init)
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (R, K), 1) < n_valid[:, None]
+    )
     ts = jnp.where(valid, ts, 0.0)
     dts = jnp.where(valid, dts, 0.0)
     return ts, dts, valid, t_exit, n_valid
