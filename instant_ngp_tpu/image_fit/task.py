@@ -150,15 +150,17 @@ class ImageTask:
             uv = uv / size + jnp.stack([x, y], -1) / size
         return uv
 
-    def _targets_at(self, uv):
-        val = bilinear_read(self.texture, uv)[:, :3]
+    def _targets_at(self, uv, texture=None):
+        val = bilinear_read(self.texture if texture is None else texture, uv)[:, :3]
         if not self.linear_colors:
             val = linear_to_srgb(val)
         return val
 
-    def _step(self, params, opt_state, key, step):
+    def _step(self, params, opt_state, texture, key, step):
+        # texture passed as a jit argument (a closure capture would embed
+        # it as an HLO constant shipped to the compiler on every compile)
         uv = self._sample_positions(key, step)
-        target = self._targets_at(uv)
+        target = self._targets_at(uv, texture)
 
         def loss_value(p):
             pred = self.model(p, uv).astype(jnp.float32)
@@ -173,7 +175,8 @@ class ImageTask:
         for _ in range(n_steps):
             self._key, sub = jax.random.split(self._key)
             self.params, self.opt_state, loss = self._jit_step(
-                self.params, self.opt_state, sub, jnp.uint32(self.training_step)
+                self.params, self.opt_state, self.texture, sub,
+                jnp.uint32(self.training_step),
             )
             self.training_step += 1
         return float(loss) if loss is not None else 0.0

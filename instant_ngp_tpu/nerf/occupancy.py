@@ -156,10 +156,11 @@ def update_grid(
         # reference (generate_grid_samples_nerf_nonuniform :218-256)
         o_mip = jax.random.randint(k2, (n_uniform,), 0, n_casc, jnp.int32)
         cand = jax.random.randint(k2, (n_uniform, 10), 0, n_cells, jnp.int32)
-        flat_grid = state.density.reshape(n_casc, -1)
-        occ = jnp.take_along_axis(
-            flat_grid[o_mip], cand, axis=1
-        ) > NERF_MIN_OPTICAL_THICKNESS
+        flat_grid = state.density.reshape(-1)
+        occ = (
+            jnp.take(flat_grid, o_mip[:, None] * n_cells + cand)
+            > NERF_MIN_OPTICAL_THICKNESS
+        )
         first = jnp.argmax(occ, axis=1)
         o_idx = jnp.take_along_axis(cand, first[:, None], axis=1)[:, 0]
         mips = jnp.concatenate([u_mip, o_mip])

@@ -136,14 +136,32 @@ class NerfTask:
         self.opt = opt
 
         grid = init_grid(self.max_cascade + 1)
-        # visibility culling (reference mark_untrained_density_grid)
-        culled = mark_untrained_cells(
-            self.max_cascade + 1,
-            dataset.resolution,
-            dataset.focal_lengths,
-            dataset.xforms_start,
-            dataset.principal_points,
-        )
+        # visibility culling (reference mark_untrained_density_grid),
+        # cached on disk keyed by the camera setup (pure function of it)
+        import hashlib
+        from pathlib import Path
+
+        h = hashlib.sha1()
+        for arr in (dataset.xforms_start, dataset.focal_lengths, dataset.principal_points):
+            h.update(np.ascontiguousarray(arr).tobytes())
+        h.update(str((dataset.resolution, self.max_cascade)).encode())
+        cache_dir = Path(__file__).resolve().parents[2] / ".jax_cache"
+        cache_file = cache_dir / f"culled_{h.hexdigest()[:16]}.npy"
+        if cache_file.exists():
+            culled = jnp.asarray(np.load(cache_file))
+        else:
+            culled = mark_untrained_cells(
+                self.max_cascade + 1,
+                dataset.resolution,
+                dataset.focal_lengths,
+                dataset.xforms_start,
+                dataset.principal_points,
+            )
+            try:
+                cache_dir.mkdir(exist_ok=True)
+                np.save(cache_file, np.asarray(culled))
+            except OSError:
+                pass
         grid = dataclasses.replace(grid, density=culled)
 
         # camera-optimization params (reference reset_network:
@@ -175,10 +193,15 @@ class NerfTask:
         )
 
         # device-resident dataset tensors
-        self.images = jnp.asarray(dataset.images)  # (N,H,W,4) uint8 or f16
-        self.xforms = jnp.asarray(dataset.xforms_start)
-        self.focals = jnp.asarray(dataset.focal_lengths)
-        self.principals = jnp.asarray(dataset.principal_points)
+        # NB: kept in a dict passed as a jit *argument* — capturing
+        # these by closure would embed the full image stack as an HLO
+        # constant (hundreds of MB shipped to the compiler per compile).
+        self.data = {
+            "images": jnp.asarray(dataset.images),  # (N,H,W,4) uint8 or f16
+            "xforms": jnp.asarray(dataset.xforms_start),
+            "focals": jnp.asarray(dataset.focal_lengths),
+            "principals": jnp.asarray(dataset.principal_points),
+        }
 
         self.training_step = 0
         self._key = jax.random.PRNGKey(seed ^ 0xBEEF)
@@ -195,20 +218,20 @@ class NerfTask:
     # ------------------------------------------------------------------
     # data access
     # ------------------------------------------------------------------
-    def _read_pixels(self, img_idx, uv):
+    def _read_pixels(self, data, img_idx, uv):
         """Nearest-pixel read → premultiplied-linear RGBA (reference
         read_rgba, common_device.cuh:846-869)."""
         w, h = self.dataset.resolution
         px = jnp.clip(jnp.floor(uv[:, 0] * w).astype(jnp.int32), 0, w - 1)
         py = jnp.clip(jnp.floor(uv[:, 1] * h).astype(jnp.int32), 0, h - 1)
-        raw = self.images[img_idx, py, px]  # (R, 4)
+        raw = data["images"][img_idx, py, px]  # (R, 4)
         if self.dataset.is_hdr:
             return raw.astype(jnp.float32)
         rgba = raw.astype(jnp.float32) / 255.0
         rgb = srgb_to_linear(rgba[:, :3]) * rgba[:, 3:4]
         return jnp.concatenate([rgb, rgba[:, 3:4]], axis=-1)
 
-    def _generate_rays(self, img_idx, uv, cam=None):
+    def _generate_rays(self, data, img_idx, uv, cam=None):
         """uv → world ray with the dataset's lens model (reference
         uv_to_ray, common_device.cuh:268-527), optionally perturbed by
         trainable camera offsets (pose/focal optimization — gradients
@@ -218,9 +241,9 @@ class NerfTask:
         from ..render.camera import so3_exp, uv_to_dir_cam
 
         w, h = self.dataset.resolution
-        focal = self.focals[img_idx]  # (R,2)
-        pp = self.principals[img_idx]
-        xform = self.xforms[img_idx]  # (R,3,4)
+        focal = data["focals"][img_idx]  # (R,2)
+        pp = data["principals"][img_idx]
+        xform = data["xforms"][img_idx]  # (R,3,4)
         if cam is not None and self.optimize_focal_length:
             focal = focal * (1.0 + cam["focal"])[None, :]
         dir_cam = uv_to_dir_cam(
@@ -283,7 +306,7 @@ class NerfTask:
         sample_cdf_2d :499-551 — recast as one flat inverse-CDF draw
         over (image, cell) with in-cell jitter)."""
         k_img, k_uv, k_mix, k_cell = jax.random.split(key, 4)
-        n_img = self.images.shape[0]
+        n_img = self.dataset.n_images
         w, h = self.dataset.resolution
         img_u = jax.random.randint(k_img, (R,), 0, n_img)
         uv_u = jax.random.uniform(k_uv, (R, 2))
@@ -317,7 +340,7 @@ class NerfTask:
         ] / total * n_cells)
         return img_idx, uv, pdf
 
-    def _train_step(self, state: NerfTrainState, key, step):
+    def _train_step(self, state: NerfTrainState, data, key, step):
         R = self.n_rays_per_batch
         k_pix, k_bg, k_jit = jax.random.split(key, 3)
         img_idx, uv, pdf = self._sample_pixels(state, k_pix, R)
@@ -334,7 +357,7 @@ class NerfTask:
             uv = jax.lax.with_sharding_constraint(uv, shard)
 
         # march with current (non-differentiated) camera params
-        o0, d0 = self._generate_rays(img_idx, uv, jax.lax.stop_gradient(state.cam))
+        o0, d0 = self._generate_rays(data, img_idx, uv, jax.lax.stop_gradient(state.cam))
         jitter = jax.random.uniform(k_jit, (R,))
         ts, dts, valid, _, n_valid = march_rays(
             o0,
@@ -346,7 +369,7 @@ class NerfTask:
             self.march_cfg,
         )
 
-        texsamp = self._read_pixels(img_idx, uv)  # premultiplied linear
+        texsamp = self._read_pixels(data, img_idx, uv)  # premultiplied linear
 
         if self.random_bg_color:
             bg_linear = srgb_to_linear(jax.random.uniform(k_bg, (R, 3)))
@@ -376,7 +399,7 @@ class NerfTask:
                     + (1.0 - a) * bg
                 )
             if self.optimize_extrinsics or self.optimize_focal_length:
-                o, d = self._generate_rays(img_idx, uv, cam)
+                o, d = self._generate_rays(data, img_idx, uv, cam)
             else:
                 o, d = o0, d0
             extra = cam["extra"][img_idx] if "extra" in cam else None
@@ -458,7 +481,7 @@ class NerfTask:
                 )
             self._key, sub = jax.random.split(self._key)
             self.state, stats = self._jit_train_step(
-                self.state, sub, jnp.int32(self.training_step)
+                self.state, self.data, sub, jnp.int32(self.training_step)
             )
             loss = stats["loss"]
             self.training_step += 1

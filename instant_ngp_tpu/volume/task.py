@@ -100,9 +100,10 @@ class VolumeTask:
         self._jit_render = jax.jit(self._render_rays)
 
     # ------------------------------------------------------------------
-    def _grid_density_at(self, pos):
+    def _grid_density_at(self, pos, grid=None):
         """GT density at world pos (nearest voxel, like the reference's
         jittered nearest read)."""
+        grid = self.density_grid if grid is None else grid
         rel = (pos - jnp.asarray(self.aabb_min)) / (
             jnp.asarray(self.aabb_max) - jnp.asarray(self.aabb_min)
         )
@@ -110,10 +111,10 @@ class VolumeTask:
         inb = jnp.all((idx >= 0) & (idx < jnp.asarray(self.grid_res)), axis=-1)
         idx = jnp.clip(idx, 0, jnp.asarray(self.grid_res) - 1)
         flat = (idx[..., 0] * self.grid_res[1] + idx[..., 1]) * self.grid_res[2] + idx[..., 2]
-        vals = jnp.take(self.density_grid.reshape(-1), flat)
+        vals = jnp.take(grid.reshape(-1), flat)
         return jnp.where(inb, vals, 0.0)
 
-    def _generate_batch(self, key):
+    def _generate_batch(self, key, grid=None):
         """Delta-tracking path tracer → (pos (B,3), target (B,4), valid)."""
         n_paths = self.batch_size // MAX_TRAIN_VERTICES
         k1, k2, k3 = jax.random.split(key, 3)
@@ -146,7 +147,7 @@ class VolumeTask:
             inside = jnp.all((pos >= aabb_min) & (pos <= aabb_max), axis=-1)
             alive = alive & inside
 
-            density = self._grid_density_at(pos)
+            density = self._grid_density_at(pos, grid)
             occupied = density > 0.0
             record = alive & occupied & (n_rec < MAX_TRAIN_VERTICES)
             slot = jnp.clip(n_rec, 0, MAX_TRAIN_VERTICES - 1)
@@ -199,8 +200,9 @@ class VolumeTask:
         ).reshape(B)
         return pts, tgt, valid
 
-    def _step(self, params, opt_state, key):
-        pts, tgt, valid = self._generate_batch(key)
+    def _step(self, params, opt_state, grid, key):
+        # GT grid passed as a jit argument, not captured (HLO-constant bloat)
+        pts, tgt, valid = self._generate_batch(key, grid)
 
         def loss_value(p):
             pred = self.model(p, pts).astype(jnp.float32)
@@ -216,7 +218,7 @@ class VolumeTask:
         for _ in range(n_steps):
             self._key, sub = jax.random.split(self._key)
             self.params, self.opt_state, loss = self._jit_step(
-                self.params, self.opt_state, sub
+                self.params, self.opt_state, self.density_grid, sub
             )
             self.training_step += 1
         return float(loss) if loss is not None else 0.0
