@@ -213,7 +213,7 @@ class NerfTask:
 
         self._jit_train_step = jax.jit(self._train_step)
         self._jit_update_grid = jax.jit(self._update_grid, static_argnames=("full",))
-        self._jit_render_rays = jax.jit(self._render_rays)
+        self._jit_render_round = jax.jit(self._render_round)
 
     # ------------------------------------------------------------------
     # data access
@@ -490,63 +490,82 @@ class NerfTask:
     # ------------------------------------------------------------------
     # rendering
     # ------------------------------------------------------------------
-    def _render_rays(self, params, grid_bits, o, d, key):
-        """Render a chunk of rays to (rgb, alpha, depth) with windowed
-        marching until all rays terminate."""
+    def _render_round(self, params, grid_bits, o, d, t, T, rgb, depth, alive, tmax):
+        """One render round: march a K-sample window and composite.
+
+        The round loop runs on the host with an alive-count readback
+        between rounds — mirroring the reference's compact-loop
+        (host readback of n_alive per iteration, testbed_nerf.cu:1735);
+        a device-side nested while_loop formulation compiled
+        pathologically slowly on TPU.
+        """
         R = o.shape[0]
         cfg = self.march_cfg
         aabb_min = jnp.asarray(self.aabb_min)
         aabb_max = jnp.asarray(self.aabb_max)
-
-        tmin, tmax = _aabb_entry(o, d, aabb_min, aabb_max)
         jitter = jnp.zeros((R,)) + 0.5
 
-        def cond(carry):
-            t, T, rgb, depth, alive, it = carry
-            return jnp.any(alive) & (it < 16)
-
-        def body(carry):
-            t, T, rgb, depth, alive, it = carry
-            ts, dts, valid, t_exit, n_valid = march_rays(
-                o, d, grid_bits, aabb_min, aabb_max, jitter, cfg, t_init=t
-            )
-            valid = valid & alive[:, None]
-            pos = o[:, None, :] + ts[..., None] * d[:, None, :]
-            pos_w = (pos - aabb_min) / (aabb_max - aabb_min)
-            dirs = jnp.broadcast_to(warp_direction(d)[:, None, :], pos.shape)
-            K = cfg.max_samples_per_ray
-            out = self.model(
-                params, pos_w.reshape(R * K, 3), dirs.reshape(R * K, 3)
-            ).reshape(R, K, 4)
-            rgb_s = network_to_rgb(out[..., :3].astype(jnp.float32), self.rgb_activation)
-            sigma = network_to_density(
-                out[..., 3].astype(jnp.float32), self.density_activation
-            )
-            sigma = jnp.where(valid, sigma, 0.0)
-            tau = sigma * dts
-            T_in = T
-            T_cum = T_in[:, None] * jnp.exp(-jnp.cumsum(tau, axis=-1) + tau)
-            weight = (1.0 - jnp.exp(-tau)) * T_cum
-            rgb = rgb + jnp.sum(weight[..., None] * rgb_s, axis=1)
-            depth = depth + jnp.sum(weight * ts, axis=1)
-            T_new = T_in * jnp.exp(-jnp.sum(tau, axis=-1))
-            exhausted = n_valid < K  # marched out of occupied space
-            alive = alive & (T_new >= EPS_T) & ~exhausted & (t_exit < tmax)
-            return (t_exit, T_new, rgb, depth, alive, it + 1)
-
-        init = (
-            tmin,
-            jnp.ones((R,)),
-            jnp.zeros((R, 3)),
-            jnp.zeros((R,)),
-            tmax > tmin,
-            jnp.int32(0),
+        ts, dts, valid, t_exit, n_valid = march_rays(
+            o, d, grid_bits, aabb_min, aabb_max, jitter, cfg, t_init=t
         )
-        t, T, rgb, depth, alive, _ = jax.lax.while_loop(cond, body, init)
+        valid = valid & alive[:, None]
+        pos = o[:, None, :] + ts[..., None] * d[:, None, :]
+        pos_w = (pos - aabb_min) / (aabb_max - aabb_min)
+        dirs = jnp.broadcast_to(warp_direction(d)[:, None, :], pos.shape)
+        K = cfg.max_samples_per_ray
+        out = self.model(
+            params, pos_w.reshape(R * K, 3), dirs.reshape(R * K, 3)
+        ).reshape(R, K, 4)
+        rgb_s = network_to_rgb(out[..., :3].astype(jnp.float32), self.rgb_activation)
+        sigma = network_to_density(
+            out[..., 3].astype(jnp.float32), self.density_activation
+        )
+        sigma = jnp.where(valid, sigma, 0.0)
+        tau = sigma * dts
+        T_cum = T[:, None] * jnp.exp(-jnp.cumsum(tau, axis=-1) + tau)
+        weight = (1.0 - jnp.exp(-tau)) * T_cum
+        rgb = rgb + jnp.sum(weight[..., None] * rgb_s, axis=1)
+        depth = depth + jnp.sum(weight * ts, axis=1)
+        T_new = T * jnp.exp(-jnp.sum(tau, axis=-1))
+        exhausted = n_valid < K  # marched out of occupied space
+        alive = alive & (T_new >= EPS_T) & ~exhausted & (t_exit < tmax)
+        return t_exit, T_new, rgb, depth, alive
+
+    def _render_rays(self, params, grid_bits, o, d, key=None, max_rounds: int = 24):
+        """Render rays to (rgb, alpha, depth): host loop over jitted
+        march+composite rounds until every ray terminates."""
+        R = o.shape[0]
+        aabb_min = jnp.asarray(self.aabb_min)
+        aabb_max = jnp.asarray(self.aabb_max)
+        tmin, tmax = _aabb_entry(o, d, aabb_min, aabb_max)
+        t = tmin
+        T = jnp.ones((R,))
+        rgb = jnp.zeros((R, 3))
+        depth = jnp.zeros((R,))
+        alive = tmax > tmin
+        for _ in range(max_rounds):
+            if not bool(jnp.any(alive)):
+                break
+            t, T, rgb, depth, alive = self._jit_render_round(
+                params, grid_bits, o, d, t, T, rgb, depth, alive, tmax
+            )
         return rgb, 1.0 - T, depth
 
-    def _render_rays_nokey(self, params, grid_bits, o, d):
-        return self._render_rays(params, grid_bits, o, d, jax.random.PRNGKey(0))
+    def _render_rays_nokey(self, params, grid_bits, o, d, n_rounds: int = 4):
+        """Fixed-round render (traceable: no host sync) for shard_map /
+        pjit pixel-parallel rendering."""
+        aabb_min = jnp.asarray(self.aabb_min)
+        aabb_max = jnp.asarray(self.aabb_max)
+        tmin, tmax = _aabb_entry(o, d, aabb_min, aabb_max)
+        R = o.shape[0]
+        t, T = tmin, jnp.ones((R,))
+        rgb, depth = jnp.zeros((R, 3)), jnp.zeros((R,))
+        alive = tmax > tmin
+        for _ in range(n_rounds):
+            t, T, rgb, depth, alive = self._render_round(
+                params, grid_bits, o, d, t, T, rgb, depth, alive, tmax
+            )
+        return rgb, 1.0 - T, depth
 
     def render(
         self,
@@ -596,9 +615,7 @@ class NerfTask:
             d = dir_cam @ xform[:, :3].T
             d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
             o = jnp.broadcast_to(xform[:, 3], d.shape)
-            rgb, alpha, depth = self._jit_render_rays(
-                params, grid_bits, o, d, jax.random.PRNGKey(0)
-            )
+            rgb, alpha, depth = self._render_rays(params, grid_bits, o, d)
             rgbs.append(np.asarray(rgb))
             alphas.append(np.asarray(alpha))
             depths.append(np.asarray(depth))

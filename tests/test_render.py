@@ -1,0 +1,87 @@
+"""Tests for lens models, render buffer, camera path, snapshot grid."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from instant_ngp_tpu.common import ColorSpace, TonemapCurve
+from instant_ngp_tpu.render.buffer import DynamicResolution, RenderBuffer, tonemap
+from instant_ngp_tpu.render.camera import (
+    iterative_opencv_undistortion,
+    opencv_distort,
+    so3_exp,
+)
+from instant_ngp_tpu.render.camera_path import CameraPath, Keyframe, quat_to_rotmat, rotmat_to_quat
+
+
+class TestLens:
+    def test_opencv_undistortion_inverts_distortion(self):
+        k1, k2, p1, p2 = 0.0578421, -0.0805099, -0.000980296, 0.00015575  # fox lens
+        x = jnp.linspace(-0.4, 0.4, 9)
+        y = jnp.linspace(-0.3, 0.3, 9)
+        xd, yd = opencv_distort(x, y, k1, k2, p1, p2)
+        xu, yu = iterative_opencv_undistortion(xd, yd, k1, k2, p1, p2)
+        np.testing.assert_allclose(np.asarray(xu), np.asarray(x), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(yu), np.asarray(y), atol=1e-5)
+
+    def test_so3_exp_rotation(self):
+        # 90° about z
+        R = np.asarray(so3_exp(jnp.array([0.0, 0.0, np.pi / 2])))
+        np.testing.assert_allclose(R @ [1, 0, 0], [0, 1, 0], atol=1e-6)
+        # identity for zero
+        np.testing.assert_allclose(np.asarray(so3_exp(jnp.zeros(3))), np.eye(3), atol=1e-6)
+
+
+class TestRenderBuffer:
+    def test_accumulation_average(self):
+        buf = RenderBuffer(4, 4)
+        buf.accumulate(np.full((4, 4, 4), 1.0, np.float32))
+        buf.accumulate(np.full((4, 4, 4), 3.0, np.float32))
+        np.testing.assert_allclose(buf.accum, 2.0)
+        assert buf.spp == 2
+
+    def test_tonemap_curves(self):
+        x = jnp.array([0.0, 0.18, 1.0, 4.0])
+        for curve in TonemapCurve:
+            y = np.asarray(tonemap(x, curve))
+            assert (np.diff(y) >= -1e-6).all(), curve  # monotone
+            assert y[0] <= 1e-6
+
+    def test_dynamic_res_adapts(self):
+        dr = DynamicResolution(target_fps=20)
+        for _ in range(50):
+            f = dr.update(10.0)  # fast frames → res grows
+        assert f > 0.5
+        for _ in range(100):
+            f = dr.update(500.0)  # slow frames → res shrinks
+        assert f < 0.2
+
+
+class TestCameraPath:
+    def test_quat_roundtrip(self):
+        rng = np.random.default_rng(0)
+        for _ in range(10):
+            w = rng.normal(size=3)
+            R = np.asarray(so3_exp(jnp.asarray(w)))
+            q = rotmat_to_quat(R)
+            R2 = quat_to_rotmat(q / np.linalg.norm(q))
+            np.testing.assert_allclose(R2, R, atol=1e-5)
+
+    def test_path_interpolation_endpoints(self):
+        m0 = np.hstack([np.eye(3), [[0], [0], [0]]]).astype(np.float32)
+        m1 = np.hstack([np.eye(3), [[1], [2], [3]]]).astype(np.float32)
+        cp = CameraPath()
+        cp.add_camera(m0, fov=40)
+        cp.add_camera(m1, fov=60)
+        k = cp.eval(0.0)
+        np.testing.assert_allclose(k.to_matrix()[:, 3], [0, 0, 0], atol=1e-5)
+        k = cp.eval(1.0)
+        np.testing.assert_allclose(k.to_matrix()[:, 3], [1, 2, 3], atol=1e-4)
+
+    def test_save_load_roundtrip(self, tmp_path):
+        cp = CameraPath()
+        cp.add_camera(np.hstack([np.eye(3), [[0.1], [0.2], [0.3]]]).astype(np.float32), fov=45)
+        cp.save(tmp_path / "path.json")
+        cp2 = CameraPath.load(tmp_path / "path.json")
+        assert len(cp2.keyframes) == 1
+        np.testing.assert_allclose(cp2.keyframes[0].T, [0.1, 0.2, 0.3], atol=1e-6)
+        assert cp2.keyframes[0].fov == 45
