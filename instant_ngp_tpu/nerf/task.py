@@ -82,6 +82,9 @@ class NerfTask:
         optimize_extrinsics: bool = False,
         optimize_exposure: bool = False,
         optimize_focal_length: bool = False,
+        optimize_distortion: bool = False,
+        train_envmap: bool = False,
+        envmap_resolution: tuple = (128, 256),
         use_error_map: bool = True,
     ):
         self.dataset = dataset
@@ -89,6 +92,9 @@ class NerfTask:
         self.optimize_extrinsics = optimize_extrinsics
         self.optimize_exposure = optimize_exposure
         self.optimize_focal_length = optimize_focal_length
+        self.optimize_distortion = optimize_distortion
+        self.train_envmap = train_envmap
+        self.envmap_resolution = envmap_resolution
         self.use_error_map = use_error_map
 
         # AABB from aabb_scale (reference load_nerf_post,
@@ -179,6 +185,15 @@ class NerfTask:
                 jax.random.PRNGKey(seed ^ 0xE17A),
                 (n_img, dataset.n_extra_learnable_dims),
             )
+        if optimize_distortion:
+            # trainable 32×32 uv-offset map (reference distortion_map,
+            # configs/nerf/base.json distortion_map.resolution)
+            cam["distortion"] = jnp.zeros((32, 32, 2))
+        if train_envmap:
+            # trainable lat-long RGBA envmap (reference TrainableBuffer
+            # envmap, testbed.cu:4391-4409)
+            eh_e, ew_e = envmap_resolution
+            cam["envmap"] = jnp.zeros((eh_e, ew_e, 4))
         from ..ops.optimizers import Optimizer, OptimizerSpec
 
         self.cam_opt = Optimizer(OptimizerSpec(
@@ -251,6 +266,13 @@ class NerfTask:
             lens_mode=LensMode(self.dataset.lens_mode),
             lens_params=jnp.asarray(self.dataset.lens_params),
         )
+        if cam is not None and "distortion" in cam:
+            # trainable screen-space distortion offsets, bilinear at uv
+            # (reference applies distortion.at_lerp(uv) to dir.xy)
+            from ..image_fit.task import bilinear_read
+
+            off = bilinear_read(cam["distortion"], uv)  # (R,2)
+            dir_cam = dir_cam.at[:, :2].add(off)
         R_mat = xform[:, :, :3]
         o = xform[:, :, 3]
         if cam is not None and self.optimize_extrinsics:
@@ -378,20 +400,27 @@ class NerfTask:
 
         optimize_cam = (
             self.optimize_extrinsics or self.optimize_exposure
-            or self.optimize_focal_length or "extra" in state.cam
+            or self.optimize_focal_length
+            or any(k in state.cam for k in ("extra", "distortion", "envmap"))
         )
 
         def loss_value(params, cam):
+            bg_lin = bg_linear
+            if "envmap" in cam:
+                # composite the trainable envmap over the random bg
+                # (reference compute_loss kernel envmap path)
+                ev = _read_envmap(cam["envmap"], d0)
+                bg_lin = ev[:, :3] + bg_lin * (1.0 - ev[:, 3:4])
             exposure_scale = 1.0
             if self.optimize_exposure:
                 exposure_scale = jnp.exp(0.6931471805599453 * cam["exposure"][img_idx])
             if self.dataset.is_hdr:
-                target = exposure_scale * texsamp[:, :3] + (1.0 - texsamp[:, 3:4]) * bg_linear
-                bg = bg_linear
+                target = exposure_scale * texsamp[:, :3] + (1.0 - texsamp[:, 3:4]) * bg_lin
+                bg = bg_lin
             else:
                 # sRGB color space (reference testbed_nerf.cu:995-999)
                 a = texsamp[:, 3:4]
-                bg = linear_to_srgb(bg_linear)
+                bg = linear_to_srgb(bg_lin)
                 target = (
                     linear_to_srgb(exposure_scale * texsamp[:, :3] / jnp.maximum(a, 1e-6))
                     * a
@@ -628,6 +657,19 @@ class NerfTask:
             rgb = np.asarray(linear_to_srgb(np.clip(rgb, 0, None)))
         frame = np.concatenate([rgb, alpha[:, None]], -1).reshape(height, width, 4)
         return frame
+
+
+def _read_envmap(envmap, d):
+    """Bilinear lat-long envmap read for ray directions (reference
+    read_envmap, envmap.cuh)."""
+    from ..image_fit.task import bilinear_read
+
+    theta = jnp.arctan2(d[:, 0], d[:, 2])
+    phi = jnp.arcsin(jnp.clip(d[:, 1], -1.0, 1.0))
+    uv = jnp.stack(
+        [theta / (2.0 * jnp.pi) + 0.5, phi / jnp.pi + 0.5], axis=-1
+    )
+    return bilinear_read(envmap, uv)
 
 
 def _aabb_entry(o, d, aabb_min, aabb_max):

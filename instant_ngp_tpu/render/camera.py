@@ -88,20 +88,29 @@ def uv_to_dir_cam(uv, resolution, focal_length, principal_point,
 def so3_exp(w):
     """Rodrigues: (…,3) axis-angle → (…,3,3) rotation. Used for the
     per-image rotation offsets of pose optimization (the reference's
-    RotationAdamOptimizer works in the same tangent space)."""
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)
-    theta = jnp.maximum(theta, 1e-12)
-    k = w / theta
-    kx, ky, kz = k[..., 0], k[..., 1], k[..., 2]
-    zero = jnp.zeros_like(kx)
+    RotationAdamOptimizer works in the same tangent space).
+
+    Uses the unnormalized form R = I + a·K + b·K² with K = skew(w),
+    a = sin(θ)/θ, b = (1−cos(θ))/θ² and Taylor fallbacks near θ=0 so
+    gradients are exact at the identity (a normalized-axis formulation
+    has vanishing/NaN gradients at w=0, which is where pose offsets
+    start)."""
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    zero = jnp.zeros_like(wx)
     K = jnp.stack(
         [
-            jnp.stack([zero, -kz, ky], -1),
-            jnp.stack([kz, zero, -kx], -1),
-            jnp.stack([-ky, kx, zero], -1),
+            jnp.stack([zero, -wz, wy], -1),
+            jnp.stack([wz, zero, -wx], -1),
+            jnp.stack([-wy, wx, zero], -1),
         ],
         -2,
     )
-    eye = jnp.eye(3)
-    th = theta[..., None]
-    return eye + jnp.sin(th) * K + (1.0 - jnp.cos(th)) * (K @ K)
+    theta2 = jnp.sum(w * w, axis=-1)[..., None, None]
+    small = theta2 < 1e-8
+    # guard the non-Taylor branch's inputs so its (unused) gradient is
+    # finite — jnp.where differentiates both branches
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
+    return jnp.eye(3) + a * K + b * (K @ K)

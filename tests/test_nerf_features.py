@@ -1,0 +1,86 @@
+"""NeRF feature tests: camera optimization, envmap, error map, extra
+dims — tiny synthetic scenes on CPU."""
+
+import numpy as np
+import pytest
+
+import __graft_entry__ as g
+
+
+def make_task(**kw):
+    import jax
+
+    from instant_ngp_tpu.nerf.task import NerfTask
+
+    ds = g._synthetic_dataset(n_images=2, w=16, h=16)
+    defaults = dict(n_rays_per_batch=64, max_samples_per_ray=4, n_march_iters=8)
+    defaults.update(kw)
+    return NerfTask(ds, g._tiny_nerf_config(), **defaults)
+
+
+class TestCamOpt:
+    def test_extrinsics_optimization_changes_offsets(self):
+        task = make_task(optimize_extrinsics=True, use_error_map=False)
+        task.train(3)
+        rot = np.asarray(task.state.cam["rot"])
+        pos = np.asarray(task.state.cam["pos"])
+        assert np.isfinite(rot).all() and np.isfinite(pos).all()
+        assert np.abs(rot).max() > 0 or np.abs(pos).max() > 0
+
+    def test_exposure_and_focal(self):
+        task = make_task(
+            optimize_exposure=True, optimize_focal_length=True, use_error_map=False
+        )
+        task.train(3)
+        assert np.isfinite(np.asarray(task.state.cam["exposure"])).all()
+        assert np.isfinite(np.asarray(task.state.cam["focal"])).all()
+
+    def test_envmap_training(self):
+        task = make_task(train_envmap=True, use_error_map=False,
+                         envmap_resolution=(8, 16))
+        task.train(3)
+        env = np.asarray(task.state.cam["envmap"])
+        assert env.shape == (8, 16, 4)
+        assert np.isfinite(env).all()
+        assert np.abs(env).max() > 0  # received gradients
+
+    def test_distortion_map(self):
+        task = make_task(optimize_distortion=True, use_error_map=False)
+        task.train(3)
+        dist = np.asarray(task.state.cam["distortion"])
+        assert dist.shape == (32, 32, 2)
+        assert np.isfinite(dist).all()
+
+    def test_extra_dims(self):
+        ds = g._synthetic_dataset(n_images=2, w=16, h=16)
+        ds.n_extra_learnable_dims = 4
+        import jax
+
+        from instant_ngp_tpu.nerf.task import NerfTask
+
+        task = NerfTask(ds, g._tiny_nerf_config(), n_rays_per_batch=64,
+                        max_samples_per_ray=4, n_march_iters=8, use_error_map=False)
+        before = np.asarray(task.state.cam["extra"]).copy()
+        task.train(3)
+        after = np.asarray(task.state.cam["extra"])
+        assert np.isfinite(after).all()
+        assert not np.allclose(before, after)
+
+
+class TestErrorMap:
+    def test_error_map_accumulates(self):
+        task = make_task(use_error_map=True)
+        task.train(4)
+        em = np.asarray(task.state.error_map)
+        assert np.isfinite(em).all()
+        assert (em >= 0).all()
+        assert em.std() > 0  # non-uniform after deposits
+
+
+class TestLossDecreases:
+    def test_nerf_loss_decreases(self):
+        task = make_task(use_error_map=False)
+        l0 = task.train(2)
+        task.train(30)
+        l1 = task.train(2)
+        assert l1 < l0, (l0, l1)
