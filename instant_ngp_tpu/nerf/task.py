@@ -133,6 +133,10 @@ class NerfTask:
         self.target_batch_size = target_batch_size
         self.random_bg_color = True
         self.snap_to_pixel_centers = True
+        # depth supervision (reference depth_supervision_lambda,
+        # compute_loss_kernel_train_nerf:1027-1031) — active when the
+        # dataset ships depth maps
+        self.depth_supervision_lambda = 1.0 if dataset.depths is not None else 0.0
 
         key = jax.random.PRNGKey(seed)
         params = self.model.init(key)
@@ -217,6 +221,8 @@ class NerfTask:
             "focals": jnp.asarray(dataset.focal_lengths),
             "principals": jnp.asarray(dataset.principal_points),
         }
+        if dataset.depths is not None:
+            self.data["depths"] = jnp.asarray(dataset.depths, jnp.float32)
 
         self.training_step = 0
         self._key = jax.random.PRNGKey(seed ^ 0xBEEF)
@@ -432,10 +438,19 @@ class NerfTask:
             else:
                 o, d = o0, d0
             extra = cam["extra"][img_idx] if "extra" in cam else None
-            rgb_ray, _, _, _ = self._composite(
+            rgb_ray, depth_ray, _, _ = self._composite(
                 params, o, d, ts, dts, valid, bg, extra=extra
             )
             per_ray = jnp.mean(self.loss(target, rgb_ray), axis=-1)
+            if self.depth_supervision_lambda > 0 and "depths" in data:
+                w_, h_ = self.dataset.resolution
+                px = jnp.clip((uv[:, 0] * w_).astype(jnp.int32), 0, w_ - 1)
+                py = jnp.clip((uv[:, 1] * h_).astype(jnp.int32), 0, h_ - 1)
+                target_depth = data["depths"][img_idx, py, px]
+                # L1 depth loss on rays with valid depth (reference uses
+                # depth_loss_type on target_depth > 0)
+                dloss = jnp.abs(depth_ray - target_depth) * (target_depth > 0)
+                per_ray = per_ray + self.depth_supervision_lambda * dloss
             # rays with zero samples are dropped by the reference; they
             # still see pure-background here, which regularizes empty
             # space — keep them but they carry no density gradient.

@@ -58,9 +58,30 @@ class SdfTask:
         self.tri_cdf = np.cumsum(areas) / max(areas.sum(), 1e-12)
 
         config = dict(config)
-        config["encoding"] = autoconfig_grid_encoding(config.get("encoding", {}), "sdf")
+        enc_cfg = config.get("encoding", {})
+        if str(enc_cfg.get("otype", "")).lower() == "takikawa":
+            # NGLOD feature-octree encoding (reference
+            # takikawa_encoding.cuh + configs/sdf/takikawa.json)
+            from ..geometry.octree import TriangleOctree
+            from ..ops.mlp import mlp_from_config
+            from ..ops.takikawa import TakikawaEncoding
+
+            depth = int(enc_cfg.get("n_levels", 7))
+            self.octree = TriangleOctree(self.triangles, depth=depth)
+            enc = TakikawaEncoding(
+                self.octree,
+                n_features_per_level=int(enc_cfg.get("n_features_per_level", 4)),
+                start_level=int(enc_cfg.get("starting_level", 2)),
+            )
+            net = mlp_from_config(config.get("network", {}), enc.n_output_dims, 1)
+            self.model = NetworkWithInputEncoding(enc, net)
+        else:
+            config["encoding"] = autoconfig_grid_encoding(enc_cfg, "sdf")
+            self.model = NetworkWithInputEncoding.from_config(
+                config, n_input_dims=3, n_output_dims=1
+            )
+            self.octree = None
         self.config = config
-        self.model = NetworkWithInputEncoding.from_config(config, n_input_dims=3, n_output_dims=1)
         self.loss = loss_fn(loss_type_from_string(config.get("loss", {}).get("otype", "Mape")))
 
         key = jax.random.PRNGKey(seed)

@@ -170,3 +170,46 @@ class TestExr:
         write_exr(tmp_path / "t.exr", img, half=False)
         img2 = read_exr(tmp_path / "t.exr")
         np.testing.assert_allclose(img2, img, atol=1e-6)
+
+
+class TestTakikawa:
+    def test_takikawa_encoding_and_training(self):
+        import jax
+
+        from instant_ngp_tpu.geometry.octree import TriangleOctree
+        from instant_ngp_tpu.ops.takikawa import TakikawaEncoding
+
+        lo, hi = 0.3, 0.7
+        v = np.array([[x, y, z] for x in (lo, hi) for y in (lo, hi) for z in (lo, hi)])
+        quads = [(0, 1, 3, 2), (4, 6, 7, 5), (0, 4, 5, 1),
+                 (2, 3, 7, 6), (0, 2, 6, 4), (1, 5, 7, 3)]
+        tris = []
+        for a, b, c, d in quads:
+            tris.append([v[a], v[b], v[c]])
+            tris.append([v[a], v[c], v[d]])
+        tris = np.asarray(tris, np.float32)
+
+        octree = TriangleOctree(tris, depth=4)
+        assert octree.n_nodes(4) > 0
+        # surface points inside, corner outside
+        assert octree.contains(np.array([[0.3, 0.5, 0.5]]))[0]
+        assert not octree.contains(np.array([[0.02, 0.02, 0.02]]))[0]
+
+        enc = TakikawaEncoding(octree, n_features_per_level=2, start_level=3)
+        params = enc.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(np.array([[0.3, 0.5, 0.5], [0.02, 0.02, 0.02]], np.float32))
+        out = np.asarray(enc(params, x))
+        assert out.shape == (2, enc.n_output_dims)
+        assert np.abs(out[1]).max() == 0.0  # far outside octree → zeros
+
+        # full SDF training with takikawa config
+        from instant_ngp_tpu.sdf.task import SdfTask
+
+        cfg = tiny_config(loss="Mape")
+        cfg["encoding"] = {"otype": "Takikawa", "n_levels": 4,
+                           "n_features_per_level": 2, "starting_level": 2}
+        task = SdfTask(tris, cfg, batch_size=2048)
+        l0 = task.train(2)
+        task.train(20)
+        l1 = task.train(2)
+        assert np.isfinite(l1)
