@@ -577,23 +577,61 @@ class NerfTask:
 
     def _render_rays(self, params, grid_bits, o, d, key=None, max_rounds: int = 24):
         """Render rays to (rgb, alpha, depth): host loop over jitted
-        march+composite rounds until every ray terminates."""
+        march+composite rounds with alive-ray compaction between rounds
+        (the reference's compact_kernel_nerf, recast as host-side
+        gather/scatter into power-of-two buckets so each bucket size
+        compiles once)."""
         R = o.shape[0]
         aabb_min = jnp.asarray(self.aabb_min)
         aabb_max = jnp.asarray(self.aabb_max)
         tmin, tmax = _aabb_entry(o, d, aabb_min, aabb_max)
-        t = tmin
-        T = jnp.ones((R,))
-        rgb = jnp.zeros((R, 3))
-        depth = jnp.zeros((R,))
-        alive = tmax > tmin
+
+        rgb_out = np.zeros((R, 3), np.float32)
+        T_out = np.ones((R,), np.float32)
+        depth_out = np.zeros((R,), np.float32)
+
+        idx = np.arange(R)
+        o_c, d_c = o, d
+        t_c, tmax_c = tmin, tmax
+        T_c = jnp.ones((R,))
+        rgb_c = jnp.zeros((R, 3))
+        depth_c = jnp.zeros((R,))
+        alive_c = tmax > tmin
+
+        valid = np.ones(R, bool)  # which bucket rows map to real rays
+
+        def writeback(mask):
+            rows = mask & valid
+            if rows.any():
+                rgb_out[idx[rows]] = np.asarray(rgb_c)[rows]
+                T_out[idx[rows]] = np.asarray(T_c)[rows]
+                depth_out[idx[rows]] = np.asarray(depth_c)[rows]
+
         for _ in range(max_rounds):
-            if not bool(jnp.any(alive)):
+            alive_np = np.asarray(alive_c) & valid
+            n_alive = int(alive_np.sum())
+            if n_alive == 0:
                 break
-            t, T, rgb, depth, alive = self._jit_render_round(
-                params, grid_bits, o, d, t, T, rgb, depth, alive, tmax
+            # compact when under half-full: gather alive rays into the
+            # next pow2 bucket (bounded set of compiled shapes)
+            if n_alive <= len(idx) // 2:
+                writeback(~alive_np)
+                bucket = max(256, 1 << int(np.ceil(np.log2(max(n_alive, 1)))))
+                sel = np.nonzero(alive_np)[0]
+                take = np.concatenate([sel, np.zeros(bucket - len(sel), np.int64)])
+                idx = idx[take]
+                valid = np.arange(bucket) < len(sel)
+                gather = lambda a: jnp.asarray(np.asarray(a)[take])
+                o_c, d_c = gather(o_c), gather(d_c)
+                t_c, tmax_c = gather(t_c), gather(tmax_c)
+                T_c, rgb_c, depth_c = gather(T_c), gather(rgb_c), gather(depth_c)
+                alive_c = jnp.asarray(valid)
+            t_c, T_c, rgb_c, depth_c, alive_c = self._jit_render_round(
+                params, grid_bits, o_c, d_c, t_c, T_c, rgb_c, depth_c, alive_c, tmax_c
             )
-        return rgb, 1.0 - T, depth
+
+        writeback(np.ones(len(idx), bool))
+        return jnp.asarray(rgb_out), 1.0 - jnp.asarray(T_out), jnp.asarray(depth_out)
 
     def _render_rays_nokey(self, params, grid_bits, o, d, n_rounds: int = 4):
         """Fixed-round render (traceable: no host sync) for shard_map /

@@ -84,3 +84,34 @@ class TestLossDecreases:
         task.train(30)
         l1 = task.train(2)
         assert l1 < l0, (l0, l1)
+
+
+class TestRenderPath:
+    def test_render_compaction_consistency(self):
+        """Render with compaction must match the fixed-round traced
+        variant (same windows, no compaction)."""
+        import jax.numpy as jnp
+
+        task = make_task(use_error_map=False)
+        task.train(8)
+        params = task.opt.inference_params(task.state.opt_state, task.state.params)
+        bits = task.state.grid.bitfield
+        R = 64
+        rng = np.random.default_rng(3)
+        o = jnp.asarray(np.full((R, 3), [0.5, 0.5, -0.6], np.float32)
+                        + 0.05 * rng.standard_normal((R, 3)).astype(np.float32))
+        d = np.concatenate([0.2 * rng.standard_normal((R, 2)), np.ones((R, 1))], -1)
+        d = jnp.asarray((d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32))
+
+        rgb1, a1, dep1 = task._render_rays(params, bits, o, d, max_rounds=8)
+        rgb2, a2, dep2 = task._render_rays_nokey(params, bits, o, d, n_rounds=8)
+        np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb2), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-4)
+
+    def test_full_render_frame(self):
+        task = make_task(use_error_map=False)
+        task.train(4)
+        cam = np.hstack([np.eye(3), [[0.5], [0.5], [-0.7]]]).astype(np.float32)
+        frame = task.render(16, 16, cam, fov=60.0)
+        assert frame.shape == (16, 16, 4)
+        assert np.isfinite(frame).all()
