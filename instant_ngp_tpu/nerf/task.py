@@ -247,10 +247,15 @@ class NerfTask:
         py = jnp.clip(jnp.floor(uv[:, 1] * h).astype(jnp.int32), 0, h - 1)
         raw = data["images"][img_idx, py, px]  # (R, 4)
         if self.dataset.is_hdr:
-            return raw.astype(jnp.float32)
+            return raw.astype(jnp.float32), jnp.ones(raw.shape[0], bool)
         rgba = raw.astype(jnp.float32) / 255.0
+        # magenta+alpha0 marks masked-away pixels (reference read_rgba
+        # returns negative for 0x00FF00FF, common_device.cuh:852-855)
+        masked = (
+            (raw[:, 0] == 255) & (raw[:, 1] == 0) & (raw[:, 2] == 255) & (raw[:, 3] == 0)
+        )
         rgb = srgb_to_linear(rgba[:, :3]) * rgba[:, 3:4]
-        return jnp.concatenate([rgb, rgba[:, 3:4]], axis=-1)
+        return jnp.concatenate([rgb, rgba[:, 3:4]], axis=-1), ~masked
 
     def _generate_rays(self, data, img_idx, uv, cam=None):
         """uv → world ray with the dataset's lens model (reference
@@ -397,7 +402,7 @@ class NerfTask:
             self.march_cfg,
         )
 
-        texsamp = self._read_pixels(data, img_idx, uv)  # premultiplied linear
+        texsamp, pixel_ok = self._read_pixels(data, img_idx, uv)  # premultiplied linear
 
         if self.random_bg_color:
             bg_linear = srgb_to_linear(jax.random.uniform(k_bg, (R, 3)))
@@ -441,7 +446,7 @@ class NerfTask:
             rgb_ray, depth_ray, _, _ = self._composite(
                 params, o, d, ts, dts, valid, bg, extra=extra
             )
-            per_ray = jnp.mean(self.loss(target, rgb_ray), axis=-1)
+            per_ray = jnp.mean(self.loss(target, rgb_ray), axis=-1) * pixel_ok
             if self.depth_supervision_lambda > 0 and "depths" in data:
                 w_, h_ = self.dataset.resolution
                 px = jnp.clip((uv[:, 0] * w_).astype(jnp.int32), 0, w_ - 1)
@@ -660,11 +665,14 @@ class NerfTask:
         spp: int = 1,
         background: tuple = (0.0, 0.0, 0.0, 0.0),
         to_srgb: bool = False,
+        render_mode: str = "shade",
     ) -> np.ndarray:
         """Render a frame → (H, W, 4) float32 RGBA.
 
         Colors come out in the model's training space (sRGB for LDR
         datasets); `to_srgb` additionally converts HDR/linear renders.
+        render_mode: "shade" | "depth" | "positions" | "normals" | "ao"
+        (reference ERenderMode, common.h:68-80).
         """
         if focal_length is None:
             fl = 0.5 * height / math.tan(0.5 * math.radians(fov))
@@ -698,18 +706,44 @@ class NerfTask:
             d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
             o = jnp.broadcast_to(xform[:, 3], d.shape)
             rgb, alpha, depth = self._render_rays(params, grid_bits, o, d)
+            if render_mode in ("positions", "normals"):
+                hit = np.asarray(o) + np.asarray(depth)[:, None] * np.asarray(d)
+                if render_mode == "positions":
+                    rel = (hit - self.aabb_min) / (self.aabb_max - self.aabb_min)
+                    rgb = jnp.asarray(np.clip(rel, 0, 1))
+                else:
+                    rgb = self._surface_normals(params, jnp.asarray(hit))
+            elif render_mode == "depth":
+                rgb = jnp.broadcast_to(depth[:, None], (depth.shape[0], 3))
+            elif render_mode == "ao":
+                rgb = jnp.broadcast_to(alpha[:, None], (alpha.shape[0], 3))
             rgbs.append(np.asarray(rgb))
             alphas.append(np.asarray(alpha))
             depths.append(np.asarray(depth))
         rgb = np.concatenate(rgbs)[:n]
         alpha = np.concatenate(alphas)[:n]
 
-        bg = np.asarray(background, np.float32)
-        rgb = rgb + (1.0 - alpha)[:, None] * bg[None, :3] * (bg[3] if len(bg) > 3 else 1.0)
-        if to_srgb:
-            rgb = np.asarray(linear_to_srgb(np.clip(rgb, 0, None)))
+        if render_mode == "shade":
+            bg = np.asarray(background, np.float32)
+            rgb = rgb + (1.0 - alpha)[:, None] * bg[None, :3] * (bg[3] if len(bg) > 3 else 1.0)
+            if to_srgb:
+                rgb = np.asarray(linear_to_srgb(np.clip(rgb, 0, None)))
         frame = np.concatenate([rgb, alpha[:, None]], -1).reshape(height, width, 4)
         return frame
+
+    def _surface_normals(self, params, pos_world):
+        """-∇σ(pos), normalized (reference Normals render mode:
+        density gradient via network backprop, testbed_nerf.cu:645)."""
+        aabb_min = jnp.asarray(self.aabb_min)
+        aabb_size = jnp.asarray(self.aabb_max - self.aabb_min)
+
+        def density_sum(p):
+            pw = (p - aabb_min) / aabb_size
+            return jnp.sum(self.model.density(params, pw)[:, 0].astype(jnp.float32))
+
+        g = jax.grad(density_sum)(pos_world)
+        n = -g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-9)
+        return n * 0.5 + 0.5
 
 
 def _read_envmap(envmap, d):

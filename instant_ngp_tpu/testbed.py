@@ -140,6 +140,11 @@ class Testbed:
             self.task = NerfTask(
                 self.nerf_dataset, self.network_config, seed=self.seed,
                 target_batch_size=self.training_batch_size,
+                optimize_extrinsics=getattr(self, "optimize_extrinsics", False),
+                optimize_exposure=getattr(self, "optimize_exposure", False),
+                optimize_focal_length=getattr(self, "optimize_focal_length", False),
+                optimize_distortion=getattr(self, "optimize_distortion", False),
+                train_envmap=getattr(self, "train_envmap", False),
             )
             # default view: first training camera
             self.camera_matrix = self.nerf_dataset.xforms_start[0].copy()
@@ -217,6 +222,47 @@ class Testbed:
         ds = self.nerf_dataset
         self.camera_matrix = ds.xforms_start[i].copy()
         self._view_index = i
+
+    def render_progressive(self, width: int, height: int, spp: int = 8, **kw) -> np.ndarray:
+        """spp-accumulated render through a RenderBuffer (the reference's
+        progressive accumulation, render_buffer.h:173-317). Each sample
+        jitters the sub-pixel offset implicitly via separate renders."""
+        from .render.buffer import RenderBuffer
+
+        buf = RenderBuffer(width, height)
+        for _ in range(spp):
+            frame = self.render(width, height, **kw)
+            buf.accumulate(frame)
+        from .common import ColorSpace, TonemapCurve
+
+        return buf.tonemapped(color_space=ColorSpace.LINEAR)
+
+    def render_with_dynamic_res(self, width: int, height: int, **kw) -> np.ndarray:
+        """Render at the dynamic-resolution controller's current factor
+        and upsample — the headless analog of the reference's adaptive
+        render resolution (testbed.cu:3299-3395)."""
+        if not hasattr(self, "_dyn_res"):
+            from .render.buffer import DynamicResolution
+
+            self._dyn_res = DynamicResolution(self.dynamic_res_target_fps)
+        factor = self._dyn_res.factor
+        rw = max(16, int(width * factor))
+        rh = max(16, int(height * factor))
+        t0 = time.perf_counter()
+        frame = self.render(rw, rh, **kw)
+        self._dyn_res.update((time.perf_counter() - t0) * 1000.0)
+        if (rw, rh) != (width, height):
+            reps_y = int(np.ceil(height / rh))
+            reps_x = int(np.ceil(width / rw))
+            frame = np.repeat(np.repeat(frame, reps_y, 0), reps_x, 1)[:height, :width]
+        return frame
+
+    def screenshot(self, path: str, width: int = 1920, height: int = 1080, spp: int = 1):
+        from .io.image import save_image
+
+        frame = self.render(width, height, spp=spp)
+        save_image(path, frame[..., :3])
+        return frame
 
     # ------------------------------------------------------------------
     # snapshots

@@ -1,0 +1,81 @@
+"""Testbed orchestrator tests: mode dispatch, frame loop, snapshot
+round-trip through the public (pyngp-style) API."""
+
+import json
+
+import numpy as np
+import pytest
+
+from instant_ngp_tpu.common import TestbedMode
+from instant_ngp_tpu.testbed import Testbed, mode_from_scene
+
+
+def test_mode_from_scene(tmp_path):
+    assert mode_from_scene("scene/transforms.json") == TestbedMode.NERF
+    assert mode_from_scene("mesh.obj") == TestbedMode.SDF
+    assert mode_from_scene("cloud.nvdb") == TestbedMode.VOLUME
+    assert mode_from_scene("pic.exr") == TestbedMode.IMAGE
+    assert mode_from_scene("pic.png") == TestbedMode.IMAGE
+
+
+@pytest.fixture()
+def tiny_image_scene(tmp_path):
+    from instant_ngp_tpu.io.exr import write_exr
+
+    y, x = np.mgrid[0:16, 0:16] / 16.0
+    img = np.stack([x, y, x * y, np.ones_like(x)], -1).astype(np.float32)
+    path = tmp_path / "img.exr"
+    write_exr(path, img, half=False)
+
+    cfg = {
+        "loss": {"otype": "L2"},
+        "optimizer": {"otype": "Adam", "learning_rate": 1e-2, "beta1": 0.9,
+                      "beta2": 0.99, "epsilon": 1e-15, "l2_reg": 1e-6},
+        "encoding": {"otype": "HashGrid", "n_levels": 4, "n_features_per_level": 2,
+                     "log2_hashmap_size": 12, "base_resolution": 4},
+        "network": {"otype": "FullyFusedMLP", "activation": "ReLU",
+                    "output_activation": "None", "n_neurons": 16, "n_hidden_layers": 1},
+    }
+    cfg_path = tmp_path / "net.json"
+    cfg_path.write_text(json.dumps(cfg))
+    return path, cfg_path
+
+
+class TestTestbedImage:
+    def test_frame_loop_and_mse(self, tiny_image_scene):
+        scene, cfg = tiny_image_scene
+        tb = Testbed()
+        tb.training_batch_size = 1024
+        tb.reload_network_from_file(str(cfg))
+        tb.load_training_data(str(scene))
+        assert tb.mode == TestbedMode.IMAGE
+        for _ in range(30):
+            assert tb.frame()
+        assert tb.training_step == 30
+        assert tb.loss < 0.2
+        mse = tb.compute_image_mse()
+        assert np.isfinite(mse)
+        frame = tb.render(8, 8)
+        assert frame.shape == (8, 8, 4)
+
+    def test_snapshot_roundtrip(self, tiny_image_scene, tmp_path):
+        scene, cfg = tiny_image_scene
+        tb = Testbed()
+        tb.training_batch_size = 1024
+        tb.reload_network_from_file(str(cfg))
+        tb.load_training_data(str(scene))
+        for _ in range(10):
+            tb.frame()
+        mse1 = tb.compute_image_mse()
+        snap = tmp_path / "s.ingp"
+        tb.save_snapshot(str(snap))
+
+        tb2 = Testbed()
+        tb2.training_batch_size = 1024
+        tb2.reload_network_from_file(str(cfg))
+        tb2.load_training_data(str(scene))
+        tb2.load_snapshot(str(snap))
+        assert tb2.training_step == 10
+        mse2 = tb2.compute_image_mse()
+        # fp16 snapshot quantization allows small drift
+        assert abs(mse1 - mse2) < 1e-3, (mse1, mse2)
