@@ -232,7 +232,8 @@ class NerfTask:
         # replicated; XLA inserts the gradient all-reduce over ICI).
         self.mesh = None
 
-        self._jit_train_step = jax.jit(self._train_step)
+        self._jit_train_step = jax.jit(self._train_step, static_argnames=("n_rays",))
+        self._n_rays_current = n_rays_per_batch
         self._jit_update_grid = jax.jit(self._update_grid, static_argnames=("full",))
         self._jit_render_round = jax.jit(self._render_round)
 
@@ -373,8 +374,8 @@ class NerfTask:
         ] / total * n_cells)
         return img_idx, uv, pdf
 
-    def _train_step(self, state: NerfTrainState, data, key, step):
-        R = self.n_rays_per_batch
+    def _train_step(self, state: NerfTrainState, data, key, step, n_rays=None):
+        R = n_rays or self.n_rays_per_batch
         k_pix, k_bg, k_jit = jax.random.split(key, 3)
         img_idx, uv, pdf = self._sample_pixels(state, k_pix, R)
         if self.snap_to_pixel_centers:
@@ -521,6 +522,7 @@ class NerfTask:
 
     def train(self, n_steps: int = 1) -> float:
         loss = None
+        stats = None
         for _ in range(n_steps):
             if self.training_step % 16 == 0:
                 self._key, sub = jax.random.split(self._key)
@@ -528,9 +530,24 @@ class NerfTask:
                     self.state, sub, jnp.int32(self.training_step),
                     full=self.training_step < 256,
                 )
+                # adaptive rays/batch so VALID samples stay near the
+                # sample target as the occupancy grid sparsifies
+                # (reference rays_per_batch·target/measured,
+                # testbed_nerf.cu:2698-2699) — power-of-two buckets so
+                # each batch shape compiles once
+                if stats is not None:
+                    measured = max(int(stats["measured_samples"]), 1)
+                    fill = measured / (self._n_rays_current * self.march_cfg.max_samples_per_ray)
+                    sample_target = self.n_rays_per_batch * self.march_cfg.max_samples_per_ray
+                    want = sample_target / max(
+                        fill * self.march_cfg.max_samples_per_ray, 1e-3
+                    )
+                    bucket = 1 << int(np.clip(np.round(np.log2(max(want, 1.0))), 10, 14))
+                    self._n_rays_current = int(bucket)
             self._key, sub = jax.random.split(self._key)
             self.state, stats = self._jit_train_step(
-                self.state, self.data, sub, jnp.int32(self.training_step)
+                self.state, self.data, sub, jnp.int32(self.training_step),
+                n_rays=self._n_rays_current,
             )
             loss = stats["loss"]
             self.training_step += 1
