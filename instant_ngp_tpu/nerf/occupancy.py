@@ -149,13 +149,15 @@ def update_grid(
         idx = jnp.tile(jnp.arange(n_cells, dtype=jnp.int32), n_casc)
     else:
         n_uniform = n_cells // 4 * n_casc
+        k1a, k1b = jax.random.split(k1)
         # uniform cells
-        u_idx = jax.random.randint(k1, (n_uniform,), 0, n_cells, jnp.int32)
-        u_mip = jax.random.randint(k1, (n_uniform,), 0, n_casc, jnp.int32)
+        u_idx = jax.random.randint(k1a, (n_uniform,), 0, n_cells, jnp.int32)
+        u_mip = jax.random.randint(k1b, (n_uniform,), 0, n_casc, jnp.int32)
         # occupied cells: rejection-resample 10 candidates like the
         # reference (generate_grid_samples_nerf_nonuniform :218-256)
-        o_mip = jax.random.randint(k2, (n_uniform,), 0, n_casc, jnp.int32)
-        cand = jax.random.randint(k2, (n_uniform, 10), 0, n_cells, jnp.int32)
+        k2a, k2b = jax.random.split(k2)
+        o_mip = jax.random.randint(k2a, (n_uniform,), 0, n_casc, jnp.int32)
+        cand = jax.random.randint(k2b, (n_uniform, 10), 0, n_cells, jnp.int32)
         flat_grid = state.density.reshape(-1)
         occ = (
             jnp.take(flat_grid, o_mip[:, None] * n_cells + cand)

@@ -339,7 +339,7 @@ class NerfTask:
         CDF (reference UNIFORM_SAMPLING_FRACTION, nerf_device.cuh:497;
         sample_cdf_2d :499-551 — recast as one flat inverse-CDF draw
         over (image, cell) with in-cell jitter)."""
-        k_img, k_uv, k_mix, k_cell = jax.random.split(key, 4)
+        k_img, k_uv, k_mix, k_cell, k_jit = jax.random.split(key, 5)
         n_img = self.dataset.n_images
         w, h = self.dataset.resolution
         img_u = jax.random.randint(k_img, (R,), 0, n_img)
@@ -357,7 +357,7 @@ class NerfTask:
         img_e = cell // (eh * ew)
         cy = (cell // ew) % eh
         cx = cell % ew
-        jit = jax.random.uniform(k_uv, (R, 2))
+        jit = jax.random.uniform(k_jit, (R, 2))
         uv_e = jnp.stack([(cx + jit[:, 0]) / ew, (cy + jit[:, 1]) / eh], -1)
 
         use_err = jax.random.uniform(k_mix, (R,)) >= 0.5
@@ -780,3 +780,40 @@ def _aabb_entry(o, d, aabb_min, aabb_max):
     from ..ops.raymarch import ray_intersect_aabb
 
     return ray_intersect_aabb(o, d, aabb_min, aabb_max)
+
+
+def level_stats(task: "NerfTask") -> list[dict]:
+    """Per-hashgrid-level parameter statistics (the reference's
+    LevelStats / gather_histograms GUI panel, testbed.cu:5234-5284)."""
+    params = np.asarray(task.state.params["pos_enc"])
+    out = []
+    for lv in task.model.pos_encoding.levels:
+        chunk = params[lv.offset : lv.offset + lv.size]
+        out.append({
+            "resolution": lv.resolution,
+            "hashed": lv.hashed,
+            "n_entries": lv.size,
+            "mean": float(chunk.mean()),
+            "std": float(chunk.std()),
+            "min": float(chunk.min()),
+            "max": float(chunk.max()),
+            "frac_nonzero": float((np.abs(chunk) > 1e-6).mean()),
+        })
+    return out
+
+
+def density_slice(task: "NerfTask", z: float = 0.5, res: int = 256) -> np.ndarray:
+    """Density on a z-slice of the unit cube (reference density-slice
+    export / ERenderMode::Slice)."""
+    import jax
+
+    xs = (np.arange(res) + 0.5) / res
+    gx, gy = np.meshgrid(xs, xs, indexing="ij")
+    pts = np.stack([gx, gy, np.full_like(gx, z)], -1).reshape(-1, 3).astype(np.float32)
+    params = task.opt.inference_params(task.state.opt_state, task.state.params)
+    out = np.empty(len(pts), np.float32)
+    chunk = 1 << 17
+    for i in range(0, len(pts), chunk):
+        d = task.model.density(params, jnp.asarray(pts[i : i + chunk]))
+        out[i : i + chunk] = np.asarray(d[:, 0], np.float32)
+    return np.exp(np.clip(out, -15, 15)).reshape(res, res)
