@@ -536,13 +536,13 @@ class NerfTask:
                 # testbed_nerf.cu:2698-2699) — power-of-two buckets so
                 # each batch shape compiles once
                 if stats is not None:
+                    K = self.march_cfg.max_samples_per_ray
                     measured = max(int(stats["measured_samples"]), 1)
-                    fill = measured / (self._n_rays_current * self.march_cfg.max_samples_per_ray)
-                    sample_target = self.n_rays_per_batch * self.march_cfg.max_samples_per_ray
-                    want = sample_target / max(
-                        fill * self.march_cfg.max_samples_per_ray, 1e-3
-                    )
-                    bucket = 1 << int(np.clip(np.round(np.log2(max(want, 1.0))), 10, 14))
+                    fill = measured / (self._n_rays_current * K)
+                    # rays so that VALID samples ≈ half the target batch
+                    sample_target = self.target_batch_size // 2
+                    want = sample_target / max(fill * K, 1e-3)
+                    bucket = 1 << int(np.clip(np.round(np.log2(max(want, 1.0))), 10, 13))
                     self._n_rays_current = int(bucket)
             self._key, sub = jax.random.split(self._key)
             self.state, stats = self._jit_train_step(
