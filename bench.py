@@ -69,8 +69,11 @@ def bench_fox():
         return mse_to_psnr(float(np.mean(ses)))
 
     # warm up compiles outside the timed region
-    print("# warmup: train step...", file=sys.stderr, flush=True)
-    task.train(1)
+    print("# warmup: train step (all ray buckets)...", file=sys.stderr, flush=True)
+    for bucket in (1024, 2048, 4096, 8192):
+        task._n_rays_current = bucket
+        task.train(1)
+    task._n_rays_current = task.n_rays_per_batch
     print("# warmup: eval render...", file=sys.stderr, flush=True)
     t_ev = time.time()
     _ = eval_psnr()

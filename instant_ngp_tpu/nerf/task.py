@@ -137,6 +137,11 @@ class NerfTask:
         # compute_loss_kernel_train_nerf:1027-1031) — active when the
         # dataset ships depth maps
         self.depth_supervision_lambda = 1.0 if dataset.depths is not None else 0.0
+        # near-camera density penalty distance (reference
+        # m_nerf.training.near_distance = 0.1, testbed.h:817; the loss
+        # kernel adds 1e-4 L1 on density logits of samples closer than
+        # this, testbed_nerf.cu:1133)
+        self.training_near_distance = 0.1
 
         key = jax.random.PRNGKey(seed)
         params = self.model.init(key)
@@ -319,7 +324,8 @@ class NerfTask:
             extra=extra_s, max_level=max_level,
         ).reshape(R, K, 4)
         rgb = network_to_rgb(out[..., :3].astype(jnp.float32), self.rgb_activation)
-        sigma = network_to_density(out[..., 3].astype(jnp.float32), self.density_activation)
+        sigma_logit = out[..., 3].astype(jnp.float32)
+        sigma = network_to_density(sigma_logit, self.density_activation)
         sigma = jnp.where(valid, sigma, 0.0)
 
         tau = sigma * dts  # optical thickness per sample
@@ -332,7 +338,7 @@ class NerfTask:
         # background only if the ray never early-terminated (reference
         # adds T*bg when compacted==numsteps; T<EPS means terminated)
         rgb_ray = rgb_ray + jnp.where(T_final >= EPS_T, T_final, 0.0)[:, None] * bg_srgb
-        return rgb_ray, depth_ray, weight, T_final
+        return rgb_ray, depth_ray, weight, (T_final, sigma_logit)
 
     def _sample_pixels(self, state, key, R):
         """Pick (image, uv) pairs: 50% uniform, 50% from the error-map
@@ -444,10 +450,22 @@ class NerfTask:
             else:
                 o, d = o0, d0
             extra = cam["extra"][img_idx] if "extra" in cam else None
-            rgb_ray, depth_ray, _, _ = self._composite(
+            rgb_ray, depth_ray, _, (T_final, sigma_logit) = self._composite(
                 params, o, d, ts, dts, valid, bg, extra=extra
             )
             per_ray = jnp.mean(self.loss(target, rgb_ray), axis=-1) * pixel_ok
+            # density regularizers (reference compute_loss kernel,
+            # testbed_nerf.cu:1128-1135): global L1 on density logits
+            # while the scene is still foggy (mean density below the
+            # optical-thickness floor), plus an L1 penalty on samples
+            # closer than the training near distance — both are the
+            # reference's anti-floater mechanisms.
+            l1_global = jnp.where(
+                state.grid.mean_density < NERF_MIN_OPTICAL_THICKNESS, 1e-4, 0.0
+            )
+            near_pen = jnp.where(ts < self.training_near_distance, 1e-4, 0.0)
+            reg_coeff = (l1_global + near_pen) * valid * (sigma_logit > -10.0)
+            per_ray = per_ray + jnp.sum(reg_coeff * sigma_logit, axis=-1)
             if self.depth_supervision_lambda > 0 and "depths" in data:
                 w_, h_ = self.dataset.resolution
                 px = jnp.clip((uv[:, 0] * w_).astype(jnp.int32), 0, w_ - 1)
