@@ -727,15 +727,22 @@ class NerfTask:
         n_pad = (n + chunk - 1) // chunk * chunk
         uv = np.pad(uv, ((0, n_pad - n), (0, 0)))
         rgbs, alphas, depths = [], [], []
+        from ..common import LensMode
+        from ..render.camera import uv_to_dir_cam
+
+        fl_arr = jnp.asarray([focal_length], jnp.float32)
+        pp_arr = jnp.asarray([principal_point], jnp.float32)
         for i in range(0, n_pad, chunk):
             uv_c = jnp.asarray(uv[i : i + chunk])
-            dir_cam = jnp.stack(
-                [
-                    (uv_c[:, 0] - principal_point[0]) * width / focal_length[0],
-                    (uv_c[:, 1] - principal_point[1]) * height / focal_length[1],
-                    jnp.ones_like(uv_c[:, 0]),
-                ],
-                axis=-1,
+            # use the dataset's lens model so eval renders match the
+            # (distorted) physical cameras (reference renders through
+            # the same Lens as training; run.py:257-317 protocol)
+            dir_cam = uv_to_dir_cam(
+                uv_c, (width, height),
+                jnp.broadcast_to(fl_arr, (uv_c.shape[0], 2)),
+                jnp.broadcast_to(pp_arr, (uv_c.shape[0], 2)),
+                lens_mode=LensMode(self.dataset.lens_mode),
+                lens_params=jnp.asarray(self.dataset.lens_params),
             )
             d = dir_cam @ xform[:, :3].T
             d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
