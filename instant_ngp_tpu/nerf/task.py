@@ -142,6 +142,13 @@ class NerfTask:
         # kernel adds 1e-4 L1 on density logits of samples closer than
         # this, testbed_nerf.cu:1133)
         self.training_near_distance = 0.1
+        # L1 density regularizers (reference testbed_nerf.cu:1128-1135).
+        # NOTE: enabled they destabilize training on TPU within ~32
+        # steps (Adam turns the constant tiny reg gradient into full-lr
+        # steps on table entries that receive no photometric signal);
+        # default off pending a round-2 investigation of the exact
+        # reference scaling (their reg bypasses loss_scale/n_rays).
+        self.density_reg_scale = 0.0
 
         key = jax.random.PRNGKey(seed)
         params = self.model.init(key)
@@ -461,11 +468,18 @@ class NerfTask:
             # closer than the training near distance — both are the
             # reference's anti-floater mechanisms.
             l1_global = jnp.where(
-                state.grid.mean_density < NERF_MIN_OPTICAL_THICKNESS, 1e-4, 0.0
+                state.grid.mean_density < NERF_MIN_OPTICAL_THICKNESS,
+                1e-4 * self.density_reg_scale, 0.0,
             )
-            near_pen = jnp.where(ts < self.training_near_distance, 1e-4, 0.0)
-            reg_coeff = (l1_global + near_pen) * valid * (sigma_logit > -10.0)
-            per_ray = per_ray + jnp.sum(reg_coeff * sigma_logit, axis=-1)
+            near_pen = jnp.where(
+                ts < self.training_near_distance, 1e-4 * self.density_reg_scale, 0.0
+            )
+            # select-then-multiply (NOT coeff*logit: a zero coefficient
+            # times an inf logit — bf16 spikes early in training — is
+            # NaN and poisons the whole loss)
+            reg_mask = valid & (sigma_logit > -10.0)
+            logit_safe = jnp.where(reg_mask, jnp.clip(sigma_logit, -10.0, 30.0), 0.0)
+            per_ray = per_ray + jnp.sum((l1_global + near_pen) * logit_safe, axis=-1)
             if self.depth_supervision_lambda > 0 and "depths" in data:
                 w_, h_ = self.dataset.resolution
                 px = jnp.clip((uv[:, 0] * w_).astype(jnp.int32), 0, w_ - 1)
