@@ -43,11 +43,11 @@ _PRIMES = (1, 2654435761, 805459861, 3674653429, 2097192037, 1434869437, 2165219
 def gather_interp(params, idx, w):
     """Weighted corner gather: out[n,f] = Σ_c w[c,n]·params[idx[c,n],f].
 
-    Custom VJP: the parameter gradient is a sort + sorted segment-sum
-    instead of the scatter-add autodiff would emit — on TPU an unsorted
-    scatter-add serializes (~10× the cost of a gather) while a sorted
-    segment-sum runs at gather speed; the argsort amortizes across the
-    whole level.
+    Custom VJP: the parameter gradient is a SCALAR flat scatter-add
+    instead of the row scatter autodiff would emit — measured on v5e,
+    XLA's row scatter costs ~82 ns/row while a flat scalar scatter runs
+    at ~11 ns/element (8× faster per update despite F× more updates).
+    Sort-based segment-sum variants lose to both (argsort dominates).
     """
     C, N = idx.shape
     F = params.shape[1]
