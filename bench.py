@@ -38,8 +38,8 @@ def bench_fox():
 
     ds = load_nerf(FOX)
     cfg = load_network_config("base.json", mode="nerf")
-    task = NerfTask(ds, cfg, n_rays_per_batch=1 << 11, max_samples_per_ray=64,
-                    n_march_iters=256)
+    task = NerfTask(ds, cfg, n_rays_per_batch=1 << 12, max_samples_per_ray=32,
+                    n_march_iters=192)
 
     # eval views: 5 evenly spaced training views at half res (training
     # views double as eval for fox, like run.py screenshot_transforms)
@@ -81,8 +81,8 @@ def bench_fox():
 
     # reset to a fresh task for the clean timed run (compiles + the
     # visibility-culling grid are disk-cached at this point)
-    task = NerfTask(ds, cfg, n_rays_per_batch=1 << 11, max_samples_per_ray=64,
-                    n_march_iters=256)
+    task = NerfTask(ds, cfg, n_rays_per_batch=1 << 12, max_samples_per_ray=32,
+                    n_march_iters=192)
 
     t0 = time.time()
     seconds_to_target = None
