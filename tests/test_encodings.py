@@ -165,3 +165,29 @@ class TestGridEncoding:
         x = jax.random.uniform(jax.random.PRNGKey(1), (16, 2))
         out = enc(params, x)
         assert out.shape == (16, 1)
+
+
+class TestGatherInterpVjp:
+    def test_custom_vjp_matches_autodiff(self):
+        from instant_ngp_tpu.ops.hashgrid import gather_interp
+
+        key = jax.random.PRNGKey(0)
+        T, F, C, N = 97, 4, 8, 33
+        params = jax.random.normal(key, (T, F))
+        idx = jax.random.randint(jax.random.PRNGKey(1), (C, N), 0, T)
+        w = jax.random.uniform(jax.random.PRNGKey(2), (C, N))
+
+        def ref(params, w):
+            feats = jnp.take(params, idx.reshape(-1), axis=0).reshape(C, N, F)
+            return jnp.sum(jnp.einsum("cn,cnf->nf", w, feats) ** 2)
+
+        def ours(params, w):
+            return jnp.sum(gather_interp(params, idx, w) ** 2)
+
+        np.testing.assert_allclose(
+            np.asarray(ref(params, w)), np.asarray(ours(params, w)), rtol=1e-5
+        )
+        g_ref = jax.grad(ref, argnums=(0, 1))(params, w)
+        g_ours = jax.grad(ours, argnums=(0, 1))(params, w)
+        np.testing.assert_allclose(np.asarray(g_ref[0]), np.asarray(g_ours[0]), rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g_ref[1]), np.asarray(g_ours[1]), rtol=1e-4, atol=1e-6)
