@@ -14,10 +14,10 @@ op with exact index/hash arithmetic:
   * coarse-to-fine masking via ``max_level`` (reference
     `set_max_level_gpu`, testbed_nerf.cu:3190-3230)
 
-The forward is a batched gather + weighted reduce that XLA maps well to
-TPU; the backward (scatter-add of corner gradients into the table) comes
-from autodiff of the gather. A fused Pallas path lives in
-ops/pallas/hashgrid_kernel.py.
+The forward is a batched gather + weighted reduce; the backward is a
+custom-VJP scalar-flat scatter (see gather_interp). A fused
+gather+MLP Pallas megakernel is the round-2 target (Mosaic's
+dynamic_gather does not yet compile on this backend).
 
 Everything is shape-static: one flat parameter table of
 (total_entries, F) float32 with static per-level offsets.

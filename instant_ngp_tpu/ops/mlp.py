@@ -51,6 +51,10 @@ class MLP:
     n_hidden_layers: int = 2
     activation: str = "ReLU"
     output_activation: str = "None"
+    # Run the forward through the Pallas fused kernel (all layers
+    # VMEM-resident, ops/pallas/mlp_kernel.py). Requires batch % 512 == 0
+    # and simple activations; backward falls back to autodiff.
+    use_pallas: bool = False
 
     @property
     def layer_sizes(self) -> tuple[tuple[int, int], ...]:
@@ -75,6 +79,17 @@ class MLP:
         return ws
 
     def __call__(self, params: Sequence[jax.Array], x: jax.Array, compute_dtype=jnp.bfloat16) -> jax.Array:
+        if (
+            self.use_pallas
+            and x.shape[0] % 512 == 0
+            and self.activation.lower() in ("relu", "none")
+            and self.output_activation.lower() in ("relu", "none")
+        ):
+            from .pallas.mlp_kernel import fused_mlp
+
+            ws = [w.astype(compute_dtype) for w in params]
+            return fused_mlp(ws, x.astype(compute_dtype),
+                             self.activation.lower(), self.output_activation.lower())
         act = activation_fn(self.activation)
         out_act = activation_fn(self.output_activation)
         h = x.astype(compute_dtype)

@@ -191,3 +191,37 @@ class TestGatherInterpVjp:
         g_ours = jax.grad(ours, argnums=(0, 1))(params, w)
         np.testing.assert_allclose(np.asarray(g_ref[0]), np.asarray(g_ours[0]), rtol=1e-4, atol=1e-6)
         np.testing.assert_allclose(np.asarray(g_ref[1]), np.asarray(g_ours[1]), rtol=1e-4, atol=1e-6)
+
+
+class TestPallasMLP:
+    def test_fused_mlp_matches_reference(self):
+        """Pallas fused MLP (interpret mode on CPU) vs plain forward."""
+        from instant_ngp_tpu.ops.pallas import mlp_kernel as mk
+
+        key = jax.random.PRNGKey(0)
+        ws = [
+            jax.random.normal(jax.random.PRNGKey(1), (32, 64)) * 0.1,
+            jax.random.normal(jax.random.PRNGKey(2), (64, 64)) * 0.1,
+            jax.random.normal(jax.random.PRNGKey(3), (64, 16)) * 0.1,
+        ]
+        x = jax.random.normal(key, (512, 32))
+        import unittest.mock as mock
+        from jax.experimental import pallas as pl
+
+        orig = pl.pallas_call
+
+        def interp_call(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        with mock.patch.object(pl, "pallas_call", interp_call):
+            out = mk.fused_mlp(ws, x, "relu", "none")
+        ref = mk._reference_forward(ws, x, "relu", "none")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+        # backward (falls back to autodiff of the reference)
+        g1 = jax.grad(lambda w: jnp.sum(mk._reference_forward(w, x, "relu", "none") ** 2))(ws)
+        with mock.patch.object(pl, "pallas_call", interp_call):
+            g2 = jax.grad(lambda w: jnp.sum(mk.fused_mlp(w, x, "relu", "none") ** 2))(ws)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
