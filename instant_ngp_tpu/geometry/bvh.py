@@ -15,22 +15,38 @@ import numpy as np
 
 _NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
 _SRC = _NATIVE_DIR / "bvh.cpp"
-_LIB = _NATIVE_DIR / "libngpbvh.so"
 
 _lib = None
+
+
+def _lib_path() -> Path:
+    """Cache key = hash of (source, host arch): a fresh clone or a
+    different CPU always rebuilds (-march=native binaries are not
+    portable), and binaries never need to be committed."""
+    import hashlib
+    import platform
+
+    h = hashlib.sha256()
+    h.update(_SRC.read_bytes())
+    h.update(platform.machine().encode())
+    h.update(platform.processor().encode())
+    return _NATIVE_DIR / f"libngpbvh-{h.hexdigest()[:12]}.so"
 
 
 def _load_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+    lib_path = _lib_path()
+    if not lib_path.exists():
+        tmp = lib_path.with_suffix(".so.tmp")
         cmd = [
             "g++", "-O3", "-march=native", "-funroll-loops", "-std=c++17",
-            "-shared", "-fPIC", "-o", str(_LIB), str(_SRC), "-lpthread",
+            "-shared", "-fPIC", "-o", str(tmp), str(_SRC), "-lpthread",
         ]
         subprocess.run(cmd, check=True, capture_output=True)
-    lib = ctypes.CDLL(str(_LIB))
+        tmp.replace(lib_path)  # atomic vs concurrent builders
+    lib = ctypes.CDLL(str(lib_path))
     lib.bvh_create.restype = ctypes.c_void_p
     lib.bvh_create.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.c_int]
     lib.bvh_destroy.argtypes = [ctypes.c_void_p]

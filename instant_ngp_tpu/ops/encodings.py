@@ -220,8 +220,19 @@ def encoding_from_config(cfg: dict, n_dims: int) -> Encoding:
         for i, sub in enumerate(specs):
             nd = int(sub.get("n_dims_to_encode", 0))
             if nd == 0:
-                nd = remaining if i == len(specs) - 1 else remaining
+                # tcnn gives unset dims to the last nested encoding only;
+                # anywhere else it is ambiguous → refuse loudly.
+                if i != len(specs) - 1:
+                    raise ValueError(
+                        "Composite: n_dims_to_encode must be set on all "
+                        "nested encodings except the last"
+                    )
+                nd = remaining
             nested.append(encoding_from_config(sub, nd))
             remaining -= nd
+        if remaining < 0:
+            raise ValueError(
+                f"Composite: nested n_dims_to_encode exceed input dims ({n_dims})"
+            )
         return Composite(tuple(nested))
     raise ValueError(f"unknown encoding otype: {cfg.get('otype')}")
