@@ -63,6 +63,52 @@ class NerfDataset:
     def n_images(self) -> int:
         return self.images.shape[0]
 
+    def compute_sharpness_maps(self, resolution=(72, 128)) -> np.ndarray:
+        """Per-image tiled sharpness: variance of the luma Laplacian in
+        each tile (reference compute_sharpness, nerf_loader.cu:111-151;
+        sharpness_resolution 128×72 per :156). Returns (N, SH, SW) f32.
+
+        Vectorized with 2D integral images instead of the reference's
+        per-tile pixel loops; tile boundaries match its integer
+        arithmetic exactly.
+        """
+        sh, sw = resolution
+        n = self.n_images
+        w, h = self.resolution
+        imgs = self.images
+        if imgs.dtype == np.uint8:
+            rgb = imgs[..., :3].astype(np.float32) / 255.0
+        else:
+            rgb = imgs[..., :3].astype(np.float32)
+        luma = rgb @ np.array([0.2126, 0.7152, 0.0722], np.float32)  # (N,H,W)
+        c = luma[:, 1:-1, 1:-1]
+        lap = (
+            4.0 * c
+            - luma[:, :-2, 1:-1]
+            - luma[:, 2:, 1:-1]
+            - luma[:, 1:-1, :-2]
+            - luma[:, 1:-1, 2:]
+        )  # (N, H-2, W-2), pixel (y, x) at lap[y-1, x-1]
+        # integral images over lap and lap² padded with a zero row/col
+        def integral(a):
+            s = np.cumsum(np.cumsum(a, axis=1), axis=2)
+            return np.pad(s, ((0, 0), (1, 0), (1, 0)))
+
+        i1, i2 = integral(lap.astype(np.float64)), integral((lap**2).astype(np.float64))
+        out = np.zeros((n, sh, sw), np.float32)
+        xs = [(max((tx * w) // sw, 1), min(((tx + 1) * w) // sw, w - 2)) for tx in range(sw)]
+        ys = [(max((ty * h) // sh, 1), min(((ty + 1) * h) // sh, h - 2)) for ty in range(sh)]
+        for ty, (y1, y2) in enumerate(ys):
+            for tx, (x1, x2) in enumerate(xs):
+                cnt = max((x2 - x1) * (y2 - y1), 1)
+                # lap indices are offset by 1 (interior): pixel x → col x-1
+                a1, a2, b1, b2 = y1 - 1, y2 - 1, x1 - 1, x2 - 1
+                s1 = i1[:, a2, b2] - i1[:, a1, b2] - i1[:, a2, b1] + i1[:, a1, b1]
+                s2 = i2[:, a2, b2] - i2[:, a1, b2] - i2[:, a2, b1] + i2[:, a1, b1]
+                m1 = s1 / cnt
+                out[:, ty, tx] = np.maximum(s2 / cnt - m1 * m1, 0.0)
+        return out
+
     def nerf_matrix_to_ngp(self, m: np.ndarray) -> np.ndarray:
         """reference nerf_loader.h:101-120."""
         m = np.array(m, np.float32)[:3, :4].copy()

@@ -57,16 +57,32 @@ class NerfTrainState:
     cam: dict  # pose/exposure/focal/latent offsets (may be empty)
     cam_opt: dict
     error_map: jax.Array  # (n_images, EH, EW) accumulated ray losses
+    # max-sharpness-seen per occupancy cell (reference sharpness_grid,
+    # testbed_nerf.cu:2709-2723); None unless include_sharpness_in_error
+    sharp_grid: Optional[jax.Array] = None
 
 
 jax.tree_util.register_dataclass(
     NerfTrainState,
-    data_fields=["params", "opt_state", "grid", "cam", "cam_opt", "error_map"],
+    data_fields=["params", "opt_state", "grid", "cam", "cam_opt", "error_map",
+                 "sharp_grid"],
     meta_fields=[],
 )
 
-ERROR_MAP_RES = (32, 32)  # (EH, EW); reference sizes its error map from
-# the ray budget (testbed_nerf.cu:2753-2760) — fixed here, same order.
+MIN_PDF = 0.01  # per-axis CDF smoothing (reference MIN_PDF, testbed_nerf.cu)
+MIN_PMF_IMG = 0.1  # image-CDF smoothing (reference MIN_PMF)
+
+
+def _error_map_res(n_rays_per_batch: int, n_images: int, img_res) -> tuple[int, int]:
+    """Error-map resolution from the ray budget (reference
+    testbed_nerf.cu:2754-2758: sqrt(sqrt(samples_per_image))·3.5,
+    clamped to the image resolution). The reference re-sizes as its
+    rebuild interval grows ×1.5; static shapes want one size, so we
+    evaluate the formula at the mid-schedule interval (~650 steps)."""
+    n_samples_per_image = 648 * n_rays_per_batch / max(n_images, 1)
+    r = int(math.sqrt(math.sqrt(n_samples_per_image)) * 3.5)
+    w, h = img_res
+    return (max(8, min(r, h, 128)), max(8, min(r, w, 128)))
 
 
 class NerfTask:
@@ -86,6 +102,7 @@ class NerfTask:
         train_envmap: bool = False,
         envmap_resolution: tuple = (128, 256),
         use_error_map: bool = True,
+        include_sharpness_in_error: bool = False,
     ):
         self.dataset = dataset
         self.config = dict(config)
@@ -142,13 +159,29 @@ class NerfTask:
         # kernel adds 1e-4 L1 on density logits of samples closer than
         # this, testbed_nerf.cu:1133)
         self.training_near_distance = 0.1
-        # L1 density regularizers (reference testbed_nerf.cu:1128-1135).
-        # NOTE: enabled they destabilize training on TPU within ~32
-        # steps (Adam turns the constant tiny reg gradient into full-lr
-        # steps on table entries that receive no photometric signal);
-        # default off pending a round-2 investigation of the exact
-        # reference scaling (their reg bypasses loss_scale/n_rays).
-        self.density_reg_scale = 0.0
+        # Valid-sample compaction capacity for the network evaluation
+        # in training (reference: the sample buffer is target_batch
+        # sized and rays that overflow it are dropped,
+        # generate_training_samples_nerf testbed_nerf.cu:770-780).
+        # The (R, K) ray-window layout is ~half invalid samples; the
+        # network+table-backward run on the compacted valid prefix
+        # (ops/compaction.py) at half the cost.
+        self.compact_samples: int | None = target_batch_size // 2
+        # per-ray rand-level coarse-to-fine training (reference
+        # m_max_level_rand_training, default false — GUI "rand levels")
+        self.max_level_rand_training = False
+        # training mode: "nerf" | "rfl" | "rflrelax" (reference
+        # ETrainMode, common.h:40-52; scripts/run.py:225-242 schedules
+        # switch modes mid-training — a static jit arg here, so each
+        # mode compiles once and switching is free)
+        self.train_mode = "nerf"
+        # L1 density regularizers (reference testbed_nerf.cu:1075-1134),
+        # on by default like the reference. Round-1 had the foggy-phase
+        # term's SIGN inverted (pushed logits down instead of pulling
+        # negative logits up toward 0) and scaled it ~100× too high —
+        # that is what destabilized training; the faithful form
+        # (raw per-sample grad, ÷ loss_scale 128) is self-limiting.
+        self.density_reg_scale = 1.0
 
         key = jax.random.PRNGKey(seed)
         params = self.model.init(key)
@@ -216,12 +249,35 @@ class NerfTask:
             learning_rate=1e-4, beta1=0.9, beta2=0.99, epsilon=1e-8, l2_reg=0.0,
             decay_start=0, decay_interval=2048, decay_base=0.33,
         ))
-        eh, ew = ERROR_MAP_RES
+        self.error_map_res = _error_map_res(
+            n_rays_per_batch, n_img, dataset.resolution
+        )
+        eh, ew = self.error_map_res
+        from ..common import NERF_GRIDSIZE
+
+        sharp_grid = None
+        if include_sharpness_in_error:
+            sharp_grid = jnp.zeros(
+                (NERF_CASCADES, NERF_GRIDSIZE, NERF_GRIDSIZE, NERF_GRIDSIZE),
+                jnp.float32,
+            )
+        self.include_sharpness_in_error = include_sharpness_in_error
         self.state = NerfTrainState(
             params=params, opt_state=opt.init(params), grid=grid,
             cam=cam, cam_opt=self.cam_opt.init(cam),
-            error_map=jnp.ones((n_img, eh, ew)),
+            error_map=jnp.zeros((n_img, eh, ew)),
+            sharp_grid=sharp_grid,
         )
+        # inverse-CDF sampling state (reference error_map.cdf_*,
+        # testbed_nerf.cu:2791-2859): rebuilt from the accumulated map
+        # every `interval` steps, interval grows ×1.5 per rebuild
+        self._cdf_x = jnp.full((n_img, eh, ew), 0.0)
+        self._cdf_y = jnp.zeros((n_img, eh))
+        self._cdf_img = jnp.zeros((n_img,))
+        self._pmf_img = jnp.full((n_img,), 1.0 / n_img)
+        self._cdf_valid = False
+        self._err_interval = 128  # reference n_steps_between_error_map_updates
+        self._err_steps_since = 0
 
         # device-resident dataset tensors
         # NB: kept in a dict passed as a jit *argument* — capturing
@@ -235,7 +291,15 @@ class NerfTask:
         }
         if dataset.depths is not None:
             self.data["depths"] = jnp.asarray(dataset.depths, jnp.float32)
+        if include_sharpness_in_error:
+            self.data["sharpness"] = jnp.asarray(
+                dataset.compute_sharpness_maps(), jnp.float32
+            )  # (N, 72, 128)
 
+        # render early-stop transmittance (reference
+        # m_nerf.m_minimum_transmittance / run.py eval 1e-4); traced as
+        # a runtime scalar so changing it does not recompile
+        self.min_transmittance = EPS_T
         self.training_step = 0
         self._key = jax.random.PRNGKey(seed ^ 0xBEEF)
         self._loss_ema = None
@@ -244,7 +308,9 @@ class NerfTask:
         # replicated; XLA inserts the gradient all-reduce over ICI).
         self.mesh = None
 
-        self._jit_train_step = jax.jit(self._train_step, static_argnames=("n_rays",))
+        self._jit_train_step = jax.jit(
+            self._train_step, static_argnames=("n_rays", "use_cdf", "mode")
+        )
         self._n_rays_current = n_rays_per_batch
         self._jit_update_grid = jax.jit(self._update_grid, static_argnames=("full",))
         self._jit_render_round = jax.jit(self._render_round)
@@ -310,8 +376,15 @@ class NerfTask:
     # ------------------------------------------------------------------
     # training
     # ------------------------------------------------------------------
-    def _composite(self, params, o, d, ts, dts, valid, bg_srgb, max_level=None, extra=None):
-        """Forward + parallel compositing. Returns per-ray rgb and aux."""
+    def _composite(self, params, o, d, ts, dts, valid, bg_srgb, max_level=None,
+                   extra=None, compact: int | None = None):
+        """Forward + parallel compositing. Returns per-ray rgb and aux.
+
+        With `compact` set, the network only evaluates the valid-sample
+        prefix (capacity `compact`); valid samples that overflow the
+        capacity are dropped exactly like the reference's full sample
+        buffer (testbed_nerf.cu:770-780).
+        """
         R, K = ts.shape
         pos = o[:, None, :] + ts[..., None] * d[:, None, :]  # (R,K,3)
         # warp into [0,1] over the training AABB
@@ -326,10 +399,41 @@ class NerfTask:
             extra_s = jnp.broadcast_to(
                 extra[:, None, :], (R, K, extra.shape[-1])
             ).reshape(R * K, -1)
-        out = self.model(
-            params, pos_w.reshape(R * K, 3), dirs.reshape(R * K, 3),
-            extra=extra_s, max_level=max_level,
-        ).reshape(R, K, 4)
+
+        # per-ray coarse-to-fine level cap → per-sample (reference
+        # rand-levels training, testbed_nerf.cu:738,843-846)
+        if max_level is not None and jnp.ndim(max_level) == 1:
+            max_level = jnp.broadcast_to(max_level[:, None], (R, K)).reshape(R * K)
+
+        M = R * K
+        if compact is not None and compact < M:
+            from ..ops.compaction import (
+                compact_gather,
+                compaction_maps,
+                expand_gather,
+            )
+
+            maps = compaction_maps(valid.reshape(M), compact)
+            pos_c = compact_gather(pos_w.reshape(M, 3), maps.src, maps.dest, maps.kept)
+            dir_c = compact_gather(dirs.reshape(M, 3), maps.src, maps.dest, maps.kept)
+            extra_c = None
+            if extra_s is not None:
+                extra_c = compact_gather(extra_s, maps.src, maps.dest, maps.kept)
+            maxl_c = max_level
+            if max_level is not None and jnp.ndim(max_level) == 1:
+                maxl_c = jnp.take(max_level, maps.src)  # no grad flows via levels
+            out_c = self.model(
+                params, pos_c, dir_c, extra=extra_c, max_level=maxl_c
+            ).astype(jnp.float32)
+            out = expand_gather(
+                out_c, maps.src, maps.dest, maps.kept, maps.n_valid
+            ).reshape(R, K, 4)
+            valid = valid & maps.kept.reshape(R, K)
+        else:
+            out = self.model(
+                params, pos_w.reshape(M, 3), dirs.reshape(M, 3),
+                extra=extra_s, max_level=max_level,
+            ).reshape(R, K, 4)
         rgb = network_to_rgb(out[..., :3].astype(jnp.float32), self.rgb_activation)
         sigma_logit = out[..., 3].astype(jnp.float32)
         sigma = network_to_density(sigma_logit, self.density_activation)
@@ -342,55 +446,92 @@ class NerfTask:
         rgb_ray = jnp.sum(weight[..., None] * rgb, axis=1)  # (R,3)
         depth_ray = jnp.sum(weight * ts, axis=1)
         T_final = jnp.exp(-jnp.sum(tau, axis=-1))
+        sample_aux = {  # per-sample fields (RFL losses, diagnostics)
+            "rgb": rgb, "alpha": alpha, "T_before": T, "valid": valid,
+        }
         # background only if the ray never early-terminated (reference
         # adds T*bg when compacted==numsteps; T<EPS means terminated)
         rgb_ray = rgb_ray + jnp.where(T_final >= EPS_T, T_final, 0.0)[:, None] * bg_srgb
-        return rgb_ray, depth_ray, weight, (T_final, sigma_logit)
+        return rgb_ray, depth_ray, weight, (T_final, sigma_logit, sample_aux)
 
-    def _sample_pixels(self, state, key, R):
-        """Pick (image, uv) pairs: 50% uniform, 50% from the error-map
-        CDF (reference UNIFORM_SAMPLING_FRACTION, nerf_device.cuh:497;
-        sample_cdf_2d :499-551 — recast as one flat inverse-CDF draw
-        over (image, cell) with in-cell jitter)."""
-        k_img, k_uv, k_mix, k_cell, k_jit = jax.random.split(key, 5)
+    def _sample_pixels(self, data, key, R, use_cdf: bool):
+        """Pick (image, uv) pairs and their sampling pdf (relative to
+        uniform). Faithful port of the reference protocol: the image is
+        drawn from the smoothed image CDF (MIN_PMF mix) and the pixel
+        from per-image 2D conditional CDFs with a 50% uniform fraction
+        (nerf_device.cuh:497-551 sample_cdf_2d / pdf_2d). All inverse
+        CDF lookups are compare-count reductions over the (small) CDF
+        axes — jnp.searchsorted measured ~150 ns/query on v5e, far
+        slower than a vectorized compare over ≤128 lanes."""
+        k_img, k_uv, k_x, k_y = jax.random.split(key, 4)
         n_img = self.dataset.n_images
-        w, h = self.dataset.resolution
-        img_u = jax.random.randint(k_img, (R,), 0, n_img)
         uv_u = jax.random.uniform(k_uv, (R, 2))
-        if not self.use_error_map:
-            pdf = jnp.ones((R,))
-            return img_u, uv_u, pdf
+        if not (self.use_error_map and use_cdf):
+            img_u = jax.random.randint(k_img, (R,), 0, n_img)
+            return img_u, uv_u, jnp.ones((R,))
 
-        eh, ew = ERROR_MAP_RES
-        flat_err = jnp.maximum(state.error_map.reshape(-1), 1e-10)
-        cdf = jnp.cumsum(flat_err)
-        total = cdf[-1]
-        u = jax.random.uniform(k_cell, (R,)) * total
-        cell = jnp.clip(jnp.searchsorted(cdf, u), 0, flat_err.shape[0] - 1)
-        img_e = cell // (eh * ew)
-        cy = (cell // ew) % eh
-        cx = cell % ew
-        jit = jax.random.uniform(k_jit, (R, 2))
-        uv_e = jnp.stack([(cx + jit[:, 0]) / ew, (cy + jit[:, 1]) / eh], -1)
+        eh, ew = self.error_map_res
+        # --- image: inverse CDF over cdf_img (already MIN_PMF-mixed) --
+        u_i = jax.random.uniform(k_img, (R,))
+        img = jnp.sum(data["cdf_img"][None, :] < u_i[:, None], axis=1)
+        img = jnp.clip(img, 0, n_img - 1).astype(jnp.int32)
+        pdf_img = data["pmf_img"][img] * n_img  # relative to uniform
 
-        use_err = jax.random.uniform(k_mix, (R,)) >= 0.5
-        img_idx = jnp.where(use_err, img_e, img_u)
-        uv = jnp.where(use_err[:, None], uv_e, uv_u)
-        # relative sampling density vs uniform (for unbiased error-map
-        # deposits; the reference deliberately does NOT reweigh the
-        # gradient — testbed_nerf.cu:1035-1039)
-        n_cells = flat_err.shape[0]
-        p_err = flat_err[cell] / total * n_cells
-        pdf = 0.5 + 0.5 * jnp.where(use_err, p_err, flat_err[
-            (img_u * eh + jnp.clip((uv_u[:, 1] * eh).astype(jnp.int32), 0, eh - 1)) * ew
-            + jnp.clip((uv_u[:, 0] * ew).astype(jnp.int32), 0, ew - 1)
-        ] / total * n_cells)
-        return img_idx, uv, pdf
+        # --- uv: 50% uniform / 50% 2D CDF (sample_cdf_2d) -------------
+        ux, uy = uv_u[:, 0], uv_u[:, 1]
+        use_uniform = ux < 0.5
+        ux_c = (ux - 0.5) * 2.0  # rescaled for the CDF branch
 
-    def _train_step(self, state: NerfTrainState, data, key, step, n_rays=None):
+        cdf_y = data["cdf_y"][img]  # (R, EH)
+        y_idx = jnp.clip(jnp.sum(cdf_y < uy[:, None], axis=1), 0, eh - 1)
+        prev_y = jnp.where(y_idx > 0, jnp.take_along_axis(
+            cdf_y, jnp.maximum(y_idx - 1, 0)[:, None], axis=1)[:, 0], 0.0)
+        pmf_y = jnp.take_along_axis(cdf_y, y_idx[:, None], axis=1)[:, 0] - prev_y
+        frac_y = jnp.clip((uy - prev_y) / jnp.maximum(pmf_y, 1e-12), 0.0, 1.0)
+
+        cdf_x = data["cdf_x"][img, y_idx]  # (R, EW)
+        x_idx = jnp.clip(jnp.sum(cdf_x < ux_c[:, None], axis=1), 0, ew - 1)
+        prev_x = jnp.where(x_idx > 0, jnp.take_along_axis(
+            cdf_x, jnp.maximum(x_idx - 1, 0)[:, None], axis=1)[:, 0], 0.0)
+        pmf_x = jnp.take_along_axis(cdf_x, x_idx[:, None], axis=1)[:, 0] - prev_x
+        frac_x = jnp.clip((ux_c - prev_x) / jnp.maximum(pmf_x, 1e-12), 0.0, 1.0)
+
+        uv_cdf = jnp.stack(
+            [(x_idx + frac_x) / ew, (y_idx + frac_y) / eh], axis=-1
+        )
+        uv_uni = jnp.stack([ux * 2.0, uy], axis=-1)  # ux/0.5 per reference
+        uv = jnp.where(use_uniform[:, None], uv_uni, uv_cdf)
+
+        # pdf_2d(uv): evaluated at the FINAL uv for both branches
+        # (reference pdf_2d, nerf_device.cuh:531-553)
+        py = jnp.clip((uv[:, 1] * eh).astype(jnp.int32), 0, eh - 1)
+        px = jnp.clip((uv[:, 0] * ew).astype(jnp.int32), 0, ew - 1)
+        cdf_y_at = data["cdf_y"][img]
+        pmf_y_at = jnp.take_along_axis(cdf_y_at, py[:, None], axis=1)[:, 0] - jnp.where(
+            py > 0,
+            jnp.take_along_axis(cdf_y_at, jnp.maximum(py - 1, 0)[:, None], axis=1)[:, 0],
+            0.0,
+        )
+        cdf_x_at = data["cdf_x"][img, py]
+        pmf_x_at = jnp.take_along_axis(cdf_x_at, px[:, None], axis=1)[:, 0] - jnp.where(
+            px > 0,
+            jnp.take_along_axis(cdf_x_at, jnp.maximum(px - 1, 0)[:, None], axis=1)[:, 0],
+            0.0,
+        )
+        uv_pdf = 0.5 + pmf_x_at * pmf_y_at * (eh * ew) * 0.5
+        return img, uv, pdf_img * uv_pdf
+
+    def _train_step(self, state: NerfTrainState, data, key, step, n_rays=None,
+                    use_cdf=False, mode="nerf"):
         R = n_rays or self.n_rays_per_batch
-        k_pix, k_bg, k_jit = jax.random.split(key, 3)
-        img_idx, uv, pdf = self._sample_pixels(state, k_pix, R)
+        k_pix, k_bg, k_jit, k_lvl = jax.random.split(key, 4)
+        # per-ray coarse-to-fine cap: rand·2 so ~50% of rays train at
+        # full level (reference testbed_nerf.cu:738; default off, like
+        # the reference's "rand levels" checkbox)
+        max_level = None
+        if self.max_level_rand_training:
+            max_level = 2.0 * jax.random.uniform(k_lvl, (R,))
+        img_idx, uv, pdf = self._sample_pixels(data, k_pix, R, use_cdf)
         if self.snap_to_pixel_centers:
             w, h = self.dataset.resolution
             res = jnp.array([w, h], jnp.float32)
@@ -457,77 +598,202 @@ class NerfTask:
             else:
                 o, d = o0, d0
             extra = cam["extra"][img_idx] if "extra" in cam else None
-            rgb_ray, depth_ray, _, (T_final, sigma_logit) = self._composite(
-                params, o, d, ts, dts, valid, bg, extra=extra
+            rgb_ray, depth_ray, weight, (T_final, sigma_logit, saux) = self._composite(
+                params, o, d, ts, dts, valid, bg, extra=extra,
+                max_level=max_level, compact=self.compact_samples,
             )
+            # per-ray composite loss: the recorded/error-map loss in ALL
+            # train modes (reference computes lg identically in every
+            # mode, fused_kernels/train_nerf.cuh:257-260)
             per_ray = jnp.mean(self.loss(target, rgb_ray), axis=-1) * pixel_ok
-            # density regularizers (reference compute_loss kernel,
-            # testbed_nerf.cu:1128-1135): global L1 on density logits
-            # while the scene is still foggy (mean density below the
-            # optical-thickness floor), plus an L1 penalty on samples
-            # closer than the training near distance — both are the
-            # reference's anti-floater mechanisms.
-            l1_global = jnp.where(
-                state.grid.mean_density < NERF_MIN_OPTICAL_THICKNESS,
-                1e-4 * self.density_reg_scale, 0.0,
-            )
-            near_pen = jnp.where(
-                ts < self.training_near_distance, 1e-4 * self.density_reg_scale, 0.0
-            )
-            # select-then-multiply (NOT coeff*logit: a zero coefficient
-            # times an inf logit — bf16 spikes early in training — is
-            # NaN and poisons the whole loss)
-            reg_mask = valid & (sigma_logit > -10.0)
-            logit_safe = jnp.where(reg_mask, jnp.clip(sigma_logit, -10.0, 30.0), 0.0)
-            per_ray = per_ray + jnp.sum((l1_global + near_pen) * logit_safe, axis=-1)
+            sg = jax.lax.stop_gradient
+            if mode == "nerf":
+                objective = jnp.mean(per_ray)
+            elif mode == "rfl":
+                # Radiance Field Loss (ETrainMode::Rfl, Zhang 2025;
+                # fused_kernels/train_nerf.cuh:391-399): the loss is
+                # composited over per-SAMPLE losses instead of computed
+                # on the composited color — autodiff of this objective
+                # reproduces the reference's hand-derived gradients
+                # (same suffix identity as the NeRF loss).
+                l_s = self.loss(
+                    jnp.broadcast_to(target[:, None, :], saux["rgb"].shape),
+                    saux["rgb"],
+                )  # (R, K, 3)
+                loss_comp = jnp.sum(weight[..., None] * l_s, axis=1)
+                loss_comp = loss_comp + jnp.where(
+                    T_final >= EPS_T, T_final, 0.0
+                )[:, None] * self.loss(target, bg)
+                objective = jnp.mean(jnp.mean(loss_comp, axis=-1) * pixel_ok)
+            else:  # "rflrelax"
+                # RflRelax (fused_kernels/train_nerf.cuh:400-410): each
+                # sample is judged on lerp(color-behind-it, its color,
+                # alpha); color gradients flow per-sample, density
+                # gradients keep the NeRF suffix form but driven by the
+                # LOCAL loss gradient — injected via stop_gradient
+                # coefficients to match the reference exactly.
+                rgb_s, alpha_s, T_before = saux["rgb"], saux["alpha"], saux["T_before"]
+                w_s = weight  # (R, K)
+                prefix = jnp.cumsum(w_s[..., None] * rgb_s, axis=1)  # incl. i
+                suffix = rgb_ray[:, None, :] - prefix  # includes bg term
+                T_after = T_before - w_s
+                rgb_bg = suffix / jnp.maximum(T_after, 1e-6)[..., None]
+                rgb_lerp = (
+                    sg((1.0 - alpha_s[..., None]) * rgb_bg)
+                    + sg(alpha_s[..., None]) * rgb_s
+                )
+                tgt_b = jnp.broadcast_to(target[:, None, :], rgb_s.shape)
+                # d l / d rgb_lerp, elementwise (vectorized analytic grad)
+                g_local = jax.grad(
+                    lambda p: jnp.sum(self.loss(tgt_b, p))
+                )(sg(rgb_lerp))
+                # color term: coeff T_before makes ∂/∂rgb = w·g_local
+                color_obj = jnp.sum(
+                    sg(T_before * saux["valid"] * pixel_ok[:, None])[..., None]
+                    * self.loss(tgt_b, rgb_lerp)
+                ) / 3.0
+                # density term: σ' · dt · ⟨g_local, T_after·rgb − suffix⟩
+                dsig = jnp.sum(
+                    g_local * (T_after[..., None] * rgb_s - suffix), axis=-1
+                ) * dts * saux["valid"] * pixel_ok[:, None] / 3.0
+                sigma_s = network_to_density(sigma_logit, self.density_activation)
+                dens_obj = jnp.sum(sg(dsig) * sigma_s)
+                objective = (color_obj + dens_obj) / max(R, 1)
+            # Density regularizers (reference compute_loss kernel,
+            # testbed_nerf.cu:1075-1134). The reference adds RAW
+            # per-sample terms to dL/d(density_logit), bypassing the
+            # 1/n_rays loss normalization but passing through the
+            # 1/loss_scale (=1/128 fp16) trainer division:
+            #   * while the scene is foggy (mean density below the
+            #     optical-thickness floor): -1e-4 for logits < 0 —
+            #     pulls empty density UP toward 0 (anti-collapse
+            #     bootstrap; round-1 had this sign inverted)
+            #   * samples nearer than near_distance with logit > -10:
+            #     +1e-4 — pushes near-camera density DOWN
+            # Expressed as a loss term Σ stop_grad(coeff)·logit so the
+            # per-sample gradient is exactly coeff.
+            if self.density_reg_scale > 0:
+                inv_loss_scale = 1.0 / 128.0  # testbed.h:311 default_loss_scale fp16
+                coeff = jnp.where(
+                    (state.grid.mean_density < NERF_MIN_OPTICAL_THICKNESS)
+                    & (sigma_logit < 0.0),
+                    -1e-4, 0.0,
+                ) + jnp.where(
+                    (sigma_logit > -10.0) & (ts < self.training_near_distance),
+                    1e-4, 0.0,
+                )
+                coeff = coeff * valid * (self.density_reg_scale * inv_loss_scale)
+                reg_total = jnp.sum(
+                    jax.lax.stop_gradient(coeff)
+                    * jnp.clip(sigma_logit, -30.0, 30.0)
+                )
+            else:
+                reg_total = 0.0
             if self.depth_supervision_lambda > 0 and "depths" in data:
                 w_, h_ = self.dataset.resolution
                 px = jnp.clip((uv[:, 0] * w_).astype(jnp.int32), 0, w_ - 1)
                 py = jnp.clip((uv[:, 1] * h_).astype(jnp.int32), 0, h_ - 1)
                 target_depth = data["depths"][img_idx, py, px]
                 # L1 depth loss on rays with valid depth (reference uses
-                # depth_loss_type on target_depth > 0)
+                # depth_loss_type on target_depth > 0); applies in every
+                # train mode
                 dloss = jnp.abs(depth_ray - target_depth) * (target_depth > 0)
                 per_ray = per_ray + self.depth_supervision_lambda * dloss
+                objective = objective + self.depth_supervision_lambda * jnp.mean(dloss)
             # rays with zero samples are dropped by the reference; they
             # still see pure-background here, which regularizes empty
             # space — keep them but they carry no density gradient.
-            return jnp.mean(per_ray), per_ray
+            # reg_total rides outside per_ray so error-map deposits
+            # stay pure photometric error; per_ray stays the composite
+            # loss in all train modes.
+            return objective + reg_total, (per_ray, depth_ray)
 
         if optimize_cam:
-            (loss, per_ray), (grads, cam_grads) = jax.value_and_grad(
+            (loss, (per_ray, depth_ray)), (grads, cam_grads) = jax.value_and_grad(
                 loss_value, argnums=(0, 1), has_aux=True
             )(state.params, state.cam)
             new_cam, new_cam_opt = self.cam_opt.update(
                 cam_grads, state.cam_opt, state.cam
             )
         else:
-            (loss, per_ray), grads = jax.value_and_grad(loss_value, has_aux=True)(
-                state.params, state.cam
-            )
+            (loss, (per_ray, depth_ray)), grads = jax.value_and_grad(
+                loss_value, has_aux=True
+            )(state.params, state.cam)
             new_cam, new_cam_opt = state.cam, state.cam_opt
 
         new_params, new_opt = self.opt.update(grads, state.opt_state, state.params)
 
-        # error-map deposit (EMA decay + unbiased pdf-normalized add)
+        # error-map deposit: loss ÷ sampling pdf, bilinear into the 4
+        # neighboring cells (reference compute_loss kernel deposit_val,
+        # testbed_nerf.cu:1041-1070); accumulated over the rebuild
+        # interval, map zeroed at each CDF rebuild
         error_map = state.error_map
+        sharp_grid = state.sharp_grid
         if self.use_error_map:
-            eh, ew = ERROR_MAP_RES
-            ex = jnp.clip((uv[:, 0] * ew).astype(jnp.int32), 0, ew - 1)
-            ey = jnp.clip((uv[:, 1] * eh).astype(jnp.int32), 0, eh - 1)
-            flat_idx = (img_idx * eh + ey) * ew + ex
+            eh, ew = self.error_map_res
             deposit = per_ray / jnp.maximum(pdf, 1e-6)
-            error_map = error_map.reshape(-1) * 0.999
-            error_map = error_map.at[flat_idx].add(deposit).reshape(
-                state.error_map.shape
+            if self.include_sharpness_in_error and sharp_grid is not None:
+                # downweight deposits from views blurrier than the
+                # sharpest view seen for the same 3D cell (reference
+                # testbed_nerf.cu:1053-1066)
+                from ..common import NERF_GRIDSIZE as G_
+                from ..ops.raymarch import mip_from_pos
+
+                smap = data["sharpness"]  # (N, SH, SW)
+                sh_res, sw_res = smap.shape[1], smap.shape[2]
+                sx = jnp.clip((uv[:, 0] * sw_res).astype(jnp.int32), 0, sw_res - 1)
+                sy = jnp.clip((uv[:, 1] * sh_res).astype(jnp.int32), 0, sh_res - 1)
+                sharp = smap[img_idx, sy, sx] + 1e-6
+                # depth_ray: expected termination distance along the ray
+                hit = o0 + depth_ray[:, None] * d0
+                in_aabb = jnp.all(
+                    (hit >= jnp.asarray(self.aabb_min))
+                    & (hit <= jnp.asarray(self.aabb_max)), axis=-1)
+                mip = jnp.clip(mip_from_pos(hit, self.max_cascade), 0, NERF_CASCADES - 1)
+                mip_scale = jnp.exp2(-mip.astype(jnp.float32))
+                p = (hit - 0.5) * mip_scale[:, None] + 0.5
+                cell = jnp.clip(jnp.floor(p * G_).astype(jnp.int32), 0, G_ - 1)
+                flat_cell = ((mip * G_ + cell[:, 0]) * G_ + cell[:, 1]) * G_ + cell[:, 2]
+                old = jnp.take(sharp_grid.reshape(-1), flat_cell)
+                sharp_grid = (
+                    sharp_grid.reshape(-1)
+                    .at[flat_cell]
+                    .max(jnp.where(in_aabb, sharp, 0.0))
+                    .reshape(sharp_grid.shape)
+                )
+                grid_sharp = jnp.maximum(sharp, old)
+                factor = jnp.maximum(sharp / grid_sharp, 0.01)
+                deposit = deposit * jnp.where(in_aabb, factor, 1.0)
+            # bilinear 4-corner deposit at uv·res − 0.5
+            pos = jnp.clip(
+                uv * jnp.array([ew, eh], jnp.float32) - 0.5,
+                0.0,
+                jnp.array([ew, eh], jnp.float32) - 1.0 - 1e-4,
+            )
+            pi = pos.astype(jnp.int32)
+            pw = pos - pi
+            px0 = jnp.clip(pi[:, 0], 0, ew - 2)
+            py0 = jnp.clip(pi[:, 1], 0, eh - 2)
+            base = (img_idx * eh + py0) * ew + px0
+            corners = jnp.concatenate([base, base + 1, base + ew, base + ew + 1])
+            wx, wy = pw[:, 0], pw[:, 1]
+            wvals = jnp.concatenate([
+                (1 - wx) * (1 - wy) * deposit,
+                wx * (1 - wy) * deposit,
+                (1 - wx) * wy * deposit,
+                wx * wy * deposit,
+            ])
+            error_map = (
+                error_map.reshape(-1).at[corners].add(wvals).reshape(error_map.shape)
             )
 
         new_state = NerfTrainState(
             params=new_params, opt_state=new_opt, grid=state.grid,
             cam=new_cam, cam_opt=new_cam_opt, error_map=error_map,
+            sharp_grid=sharp_grid,
         )
         stats = {
-            "loss": loss,
+            "loss": jnp.mean(per_ray),
             "measured_samples": jnp.sum(n_valid),
         }
         return new_state, stats
@@ -550,7 +816,12 @@ class NerfTask:
             density_activation=self.density_activation,
             full=full,
         )
-        return dataclasses.replace(state, grid=grid)
+        # sharpness grid decays alongside the density grid (reference
+        # decay_sharpness_grid_nerf ×0.95, testbed_nerf.cu:2717-2721)
+        sharp_grid = state.sharp_grid
+        if sharp_grid is not None:
+            sharp_grid = sharp_grid * 0.95
+        return dataclasses.replace(state, grid=grid, sharp_grid=sharp_grid)
 
     def train(self, n_steps: int = 1) -> float:
         loss = None
@@ -577,18 +848,38 @@ class NerfTask:
                     bucket = 1 << int(np.clip(np.round(np.log2(max(want, 1.0))), 10, 13))
                     self._n_rays_current = int(bucket)
             self._key, sub = jax.random.split(self._key)
+            data = self.data
+            if self._cdf_valid:
+                data = dict(self.data)
+                data["cdf_x"], data["cdf_y"] = self._cdf_x, self._cdf_y
+                data["cdf_img"], data["pmf_img"] = self._cdf_img, self._pmf_img
             self.state, stats = self._jit_train_step(
-                self.state, self.data, sub, jnp.int32(self.training_step),
-                n_rays=self._n_rays_current,
+                self.state, data, sub, jnp.int32(self.training_step),
+                n_rays=self._n_rays_current, use_cdf=self._cdf_valid,
+                mode=self.train_mode,
             )
             loss = stats["loss"]
             self.training_step += 1
+            # error-map CDF rebuild on a ×1.5-growing interval
+            # (reference testbed_nerf.cu:2791-2859)
+            if self.use_error_map:
+                self._err_steps_since += 1
+                if self._err_steps_since >= self._err_interval:
+                    (self._cdf_x, self._cdf_y, self._cdf_img,
+                     self._pmf_img) = _rebuild_error_cdf(self.state.error_map)
+                    self.state = dataclasses.replace(
+                        self.state, error_map=jnp.zeros_like(self.state.error_map)
+                    )
+                    self._cdf_valid = True
+                    self._err_steps_since = 0
+                    self._err_interval = int(self._err_interval * 1.5)
         return float(loss) if loss is not None else 0.0
 
     # ------------------------------------------------------------------
     # rendering
     # ------------------------------------------------------------------
-    def _render_round(self, params, grid_bits, o, d, t, T, rgb, depth, alive, tmax):
+    def _render_round(self, params, grid_bits, o, d, t, T, rgb, depth, alive, tmax,
+                      eps_t=EPS_T):
         """One render round: march a K-sample window and composite.
 
         The round loop runs on the host with an alive-count readback
@@ -625,8 +916,16 @@ class NerfTask:
         rgb = rgb + jnp.sum(weight[..., None] * rgb_s, axis=1)
         depth = depth + jnp.sum(weight * ts, axis=1)
         T_new = T * jnp.exp(-jnp.sum(tau, axis=-1))
-        exhausted = n_valid < K  # marched out of occupied space
-        alive = alive & (T_new >= EPS_T) & ~exhausted & (t_exit < tmax)
+        # A ray stays alive while it is transparent enough, has scene
+        # left, AND made marching progress this round. `n_valid < K`
+        # alone conflates "marched out of occupied space" with "ran out
+        # of the lockstep iteration budget on empty-space skips" — in
+        # large-aabb scenes the latter killed rays mid-scene and
+        # replaced their contribution with background (advisor round-1
+        # finding). Zero progress ⇔ the march terminated for this ray
+        # (outside the aabb or beyond MAX_DEPTH).
+        progressed = t_exit > t
+        alive = alive & (T_new >= eps_t) & (t_exit < tmax) & progressed
         return t_exit, T_new, rgb, depth, alive
 
     def _render_rays(self, params, grid_bits, o, d, key=None, max_rounds: int = 24):
@@ -681,7 +980,8 @@ class NerfTask:
                 T_c, rgb_c, depth_c = gather(T_c), gather(rgb_c), gather(depth_c)
                 alive_c = jnp.asarray(valid)
             t_c, T_c, rgb_c, depth_c, alive_c = self._jit_render_round(
-                params, grid_bits, o_c, d_c, t_c, T_c, rgb_c, depth_c, alive_c, tmax_c
+                params, grid_bits, o_c, d_c, t_c, T_c, rgb_c, depth_c, alive_c, tmax_c,
+                jnp.float32(self.min_transmittance),
             )
 
         writeback(np.ones(len(idx), bool))
@@ -699,7 +999,8 @@ class NerfTask:
         alive = tmax > tmin
         for _ in range(n_rounds):
             t, T, rgb, depth, alive = self._render_round(
-                params, grid_bits, o, d, t, T, rgb, depth, alive, tmax
+                params, grid_bits, o, d, t, T, rgb, depth, alive, tmax,
+                jnp.float32(self.min_transmittance),
             )
         return rgb, 1.0 - T, depth
 
@@ -729,55 +1030,79 @@ class NerfTask:
         xform = jnp.asarray(camera_matrix, jnp.float32)
 
         ys, xs = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
-        uv = np.stack(
-            [(xs.reshape(-1) + 0.5) / width, (ys.reshape(-1) + 0.5) / height], -1
-        ).astype(np.float32)
+        xs = xs.reshape(-1).astype(np.float32)
+        ys = ys.reshape(-1).astype(np.float32)
 
         params = self.opt.inference_params(self.state.opt_state, self.state.params)
         grid_bits = self.state.grid.bitfield
 
         chunk = 1 << 16
-        n = uv.shape[0]
+        n = xs.shape[0]
         n_pad = (n + chunk - 1) // chunk * chunk
-        uv = np.pad(uv, ((0, n_pad - n), (0, 0)))
-        rgbs, alphas, depths = [], [], []
         from ..common import LensMode
         from ..render.camera import uv_to_dir_cam
 
         fl_arr = jnp.asarray([focal_length], jnp.float32)
         pp_arr = jnp.asarray([principal_point], jnp.float32)
-        for i in range(0, n_pad, chunk):
-            uv_c = jnp.asarray(uv[i : i + chunk])
-            # use the dataset's lens model so eval renders match the
-            # (distorted) physical cameras (reference renders through
-            # the same Lens as training; run.py:257-317 protocol)
-            dir_cam = uv_to_dir_cam(
-                uv_c, (width, height),
-                jnp.broadcast_to(fl_arr, (uv_c.shape[0], 2)),
-                jnp.broadcast_to(pp_arr, (uv_c.shape[0], 2)),
-                lens_mode=LensMode(self.dataset.lens_mode),
-                lens_params=jnp.asarray(self.dataset.lens_params),
-            )
-            d = dir_cam @ xform[:, :3].T
-            d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-            o = jnp.broadcast_to(xform[:, 3], d.shape)
-            rgb, alpha, depth = self._render_rays(params, grid_bits, o, d)
-            if render_mode in ("positions", "normals"):
-                hit = np.asarray(o) + np.asarray(depth)[:, None] * np.asarray(d)
-                if render_mode == "positions":
-                    rel = (hit - self.aabb_min) / (self.aabb_max - self.aabb_min)
-                    rgb = jnp.asarray(np.clip(rel, 0, 1))
-                else:
-                    rgb = self._surface_normals(params, jnp.asarray(hit))
-            elif render_mode == "depth":
-                rgb = jnp.broadcast_to(depth[:, None], (depth.shape[0], 3))
-            elif render_mode == "ao":
-                rgb = jnp.broadcast_to(alpha[:, None], (alpha.shape[0], 3))
-            rgbs.append(np.asarray(rgb))
-            alphas.append(np.asarray(alpha))
-            depths.append(np.asarray(depth))
-        rgb = np.concatenate(rgbs)[:n]
-        alpha = np.concatenate(alphas)[:n]
+
+        def halton(i, b):
+            f, r = 1.0, 0.0
+            while i > 0:
+                f /= b
+                r += f * (i % b)
+                i //= b
+            return r
+
+        rgb_acc = np.zeros((n, 3), np.float32)
+        alpha_acc = np.zeros((n,), np.float32)
+        depth_acc = np.zeros((n,), np.float32)
+        for s in range(max(spp, 1)):
+            # sub-pixel offsets: pixel centers for sample 0 (the
+            # snap-to-pixel-centers eval protocol), Halton(2,3)
+            # low-discrepancy for the rest (reference
+            # ld_random_pixel_offset, common_device.cuh)
+            off = (0.5, 0.5) if s == 0 else (halton(s, 2), halton(s, 3))
+            uv = np.stack(
+                [(xs + off[0]) / width, (ys + off[1]) / height], -1
+            ).astype(np.float32)
+            uv = np.pad(uv, ((0, n_pad - n), (0, 0)))
+            rgbs, alphas, depths = [], [], []
+            for i in range(0, n_pad, chunk):
+                uv_c = jnp.asarray(uv[i : i + chunk])
+                # use the dataset's lens model so eval renders match the
+                # (distorted) physical cameras (reference renders through
+                # the same Lens as training; run.py:257-317 protocol)
+                dir_cam = uv_to_dir_cam(
+                    uv_c, (width, height),
+                    jnp.broadcast_to(fl_arr, (uv_c.shape[0], 2)),
+                    jnp.broadcast_to(pp_arr, (uv_c.shape[0], 2)),
+                    lens_mode=LensMode(self.dataset.lens_mode),
+                    lens_params=jnp.asarray(self.dataset.lens_params),
+                )
+                d = dir_cam @ xform[:, :3].T
+                d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+                o = jnp.broadcast_to(xform[:, 3], d.shape)
+                rgb, alpha, depth = self._render_rays(params, grid_bits, o, d)
+                if render_mode in ("positions", "normals"):
+                    hit = np.asarray(o) + np.asarray(depth)[:, None] * np.asarray(d)
+                    if render_mode == "positions":
+                        rel = (hit - self.aabb_min) / (self.aabb_max - self.aabb_min)
+                        rgb = jnp.asarray(np.clip(rel, 0, 1))
+                    else:
+                        rgb = self._surface_normals(params, jnp.asarray(hit))
+                elif render_mode == "depth":
+                    rgb = jnp.broadcast_to(depth[:, None], (depth.shape[0], 3))
+                elif render_mode == "ao":
+                    rgb = jnp.broadcast_to(alpha[:, None], (alpha.shape[0], 3))
+                rgbs.append(np.asarray(rgb))
+                alphas.append(np.asarray(alpha))
+                depths.append(np.asarray(depth))
+            rgb_acc += np.concatenate(rgbs)[:n]
+            alpha_acc += np.concatenate(alphas)[:n]
+            depth_acc += np.concatenate(depths)[:n]
+        inv = 1.0 / max(spp, 1)
+        rgb = rgb_acc * inv
+        alpha = alpha_acc * inv
 
         if render_mode == "shade":
             bg = np.asarray(background, np.float32)
@@ -802,6 +1127,37 @@ class NerfTask:
         return n * 0.5 + 0.5
 
 
+@jax.jit
+def _rebuild_error_cdf(error_map):
+    """Build the sampling CDFs from the accumulated error map
+    (reference construct_cdf_2d / construct_cdf_1d + host image mix,
+    testbed_nerf.cu:1532-1580, 2791-2859). All cumsums, vectorized.
+
+    error_map: (n_img, EH, EW) → (cdf_x (n,EH,EW) per-row conditional,
+    cdf_y (n,EH) per-image marginal, cdf_img (n,), pmf_img (n,)),
+    each smoothed toward uniform (MIN_PDF per axis, MIN_PMF for the
+    image distribution)."""
+    n, eh, ew = error_map.shape
+    data = error_map + 1e-10
+    cdf_x = jnp.cumsum(data, axis=2)
+    row_tot = cdf_x[:, :, -1]
+    cdf_x = (1.0 - MIN_PDF) * cdf_x / row_tot[:, :, None] + MIN_PDF * (
+        jnp.arange(1, ew + 1, dtype=jnp.float32) / ew
+    )
+    cdf_y = jnp.cumsum(row_tot, axis=1)
+    img_tot = cdf_y[:, -1]
+    cdf_y = (1.0 - MIN_PDF) * cdf_y / img_tot[:, None] + MIN_PDF * (
+        jnp.arange(1, eh + 1, dtype=jnp.float32) / eh
+    )
+    cdf_img_raw = jnp.cumsum(img_tot)
+    total = cdf_img_raw[-1]
+    pmf_img = (1.0 - MIN_PMF_IMG) * img_tot / total + MIN_PMF_IMG / n
+    cdf_img = (1.0 - MIN_PMF_IMG) * cdf_img_raw / total + MIN_PMF_IMG * (
+        jnp.arange(1, n + 1, dtype=jnp.float32) / n
+    )
+    return cdf_x, cdf_y, cdf_img, pmf_img
+
+
 def _read_envmap(envmap, d):
     """Bilinear lat-long envmap read for ray directions (reference
     read_envmap, envmap.cuh)."""
@@ -824,10 +1180,10 @@ def _aabb_entry(o, d, aabb_min, aabb_max):
 def level_stats(task: "NerfTask") -> list[dict]:
     """Per-hashgrid-level parameter statistics (the reference's
     LevelStats / gather_histograms GUI panel, testbed.cu:5234-5284)."""
-    params = np.asarray(task.state.params["pos_enc"])
+    tables = task.state.params["pos_enc"]  # per-level leaves
     out = []
-    for lv in task.model.pos_encoding.levels:
-        chunk = params[lv.offset : lv.offset + lv.size]
+    for lv, table in zip(task.model.pos_encoding.levels, tables):
+        chunk = np.asarray(table)
         out.append({
             "resolution": lv.resolution,
             "hashed": lv.hashed,

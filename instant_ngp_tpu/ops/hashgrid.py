@@ -14,13 +14,26 @@ op with exact index/hash arithmetic:
   * coarse-to-fine masking via ``max_level`` (reference
     `set_max_level_gpu`, testbed_nerf.cu:3190-3230)
 
-The forward is a batched gather + weighted reduce; the backward is a
-custom-VJP scalar-flat scatter (see gather_interp). A fused
-gather+MLP Pallas megakernel is the round-2 target (Mosaic's
-dynamic_gather does not yet compile on this backend).
+TPU-first design (round 2):
 
-Everything is shape-static: one flat parameter table of
-(total_entries, F) float32 with static per-level offsets.
+  * Parameters are a TUPLE of per-level tables (size_l, F) instead of
+    one flat table. Each level is its own pytree leaf, so each level's
+    gradient is produced directly at its own shape — no giant
+    zero-init + scatter into a shared 50 MB buffer per level.
+  * Each level runs through one custom-VJP op whose backward NEVER
+    uses an XLA scatter by default: updates are lax.sort-ed by table
+    row and segment-summed (sorted ids). On v5e, sort+segsum of 1M
+    updates runs ~50-100× faster than the scalar scatter-add XLA emits
+    for `.at[idx].add` (serial ~40-80 ns/elem on the scalar core);
+    round-1's flat-scalar-scatter backward was 360 ms of a 470 ms
+    train step.
+  * Position gradients (needed when camera poses/focal are being
+    optimized, reference dy_dx in tcnn grid backward) are computed
+    analytically in the same backward; XLA DCEs the dx computation
+    whenever the position input is not differentiated.
+
+Everything is shape-static; per-level sizes/offsets are Python ints at
+trace time.
 """
 
 from __future__ import annotations
@@ -39,16 +52,223 @@ import numpy as np
 _PRIMES = (1, 2654435761, 805459861, 3674653429, 2097192037, 1434869437, 2165219737)
 
 
+# ---------------------------------------------------------------------------
+# per-level static spec + geometry helpers
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class GridLevelSpec:
+    scale: float
+    resolution: int
+    size: int  # number of feature vectors in this level's table
+    offset: int  # offset (in feature vectors) into the packed flat table
+    hashed: bool
+
+
+@dataclasses.dataclass(frozen=True)
+class _LevelOp:
+    """Hashable static config for one level's interp op (custom_vjp
+    nondiff argument)."""
+
+    n_dims: int
+    n_features: int
+    scale: float
+    resolution: int
+    size: int
+    hashed: bool
+    interpolation: str  # "linear" | "smoothstep" | "nearest"
+    grad_method: str  # "sort" | "xla"
+
+
+def _corner_setup(op: _LevelOp, x: jax.Array):
+    """Per-axis floor/interp-weights for positions x (N, D) in [0,1].
+
+    Returns (grid (N,D) int32, t (N,D) interp weights, dchain (N,D)
+    = dt/dx including the level scale, for analytic position grads).
+    """
+    pos = x * np.float32(op.scale) + 0.5
+    floor = jnp.floor(pos)
+    frac = pos - floor
+    if op.interpolation == "smoothstep":
+        t = frac * frac * (3.0 - 2.0 * frac)
+        dchain = 6.0 * frac * (1.0 - frac) * np.float32(op.scale)
+    elif op.interpolation == "nearest":
+        t = jnp.round(frac)
+        dchain = jnp.zeros_like(frac)
+    else:
+        t = frac
+        dchain = jnp.full_like(frac, np.float32(op.scale))
+    return floor.astype(jnp.int32), t, dchain
+
+
+def _corner_index(op: _LevelOp, grid: jax.Array, bits) -> jax.Array:
+    """LOCAL table index (N,) for one corner. grid: (N, D) int32;
+    bits: D python ints in {0,1}. Rank-1 math throughout — on TPU,
+    (N,) arrays put N in the lane dim; higher-rank small trailing dims
+    would be tile-padded to (8,128) and blow up memory."""
+    D = op.n_dims
+    idx = jnp.zeros_like(grid[:, 0], dtype=jnp.uint32)
+    if op.hashed:
+        for d in range(D):
+            c = (grid[:, d] + bits[d]).astype(jnp.uint32)
+            idx = idx ^ (c * np.uint32(_PRIMES[d] & 0xFFFFFFFF))
+    else:
+        stride = 1
+        for d in range(D):
+            c = (grid[:, d] + bits[d]).astype(jnp.uint32)
+            idx = idx + c * np.uint32(stride)
+            stride *= op.resolution
+    return (idx % np.uint32(op.size)).astype(jnp.int32)
+
+
+def _corner_weight(t: jax.Array, bits) -> jax.Array:
+    """(N,) interpolation weight for one corner from t (N, D)."""
+    w = None
+    for d in range(t.shape[-1]):
+        wd = t[:, d] if bits[d] else (1.0 - t[:, d])
+        w = wd if w is None else w * wd
+    return w
+
+
+def _all_corners(op: _LevelOp, grid, t):
+    """(C, N) stacked corner indices and weights."""
+    C = 1 << op.n_dims
+    idx_c, w_c = [], []
+    for c in range(C):
+        bits = [(c >> d) & 1 for d in range(op.n_dims)]
+        idx_c.append(_corner_index(op, grid, bits))
+        w_c.append(_corner_weight(t, bits))
+    return jnp.stack(idx_c), jnp.stack(w_c)
+
+
+# ---------------------------------------------------------------------------
+# whole-encoding custom VJP (all levels; batched scatter-free backward)
+# ---------------------------------------------------------------------------
+
+
+def _encode_fwd_impl(enc: "GridEncoding", params, x):
+    """Shared forward: per-level gather+interp. Returns (out, feats)
+    with feats stacked (L, C, N, F) — kept as residuals so the
+    backward's dx never re-gathers (row gathers measured ~3 ns/row on
+    v5e; 16 levels × 8 corners × 131K samples would be ~50 ms)."""
+    F = enc.n_features_per_level
+    outs, feats_all = [], []
+    for level, table in zip(enc.levels, params):
+        op = enc._level_op(level)
+        grid, t, _ = _corner_setup(op, x)
+        idx, w = _all_corners(op, grid, t)  # (C, N)
+        C, N = idx.shape
+        feats = jnp.take(table, idx.reshape(C * N), axis=0).reshape(C, N, F)
+        outs.append(jnp.einsum("cn,cnf->nf", w.astype(feats.dtype), feats))
+        feats_all.append(feats)
+    out = jnp.concatenate(outs, axis=-1)  # (N, L·F)
+    return out, jnp.stack(feats_all)  # (L, C, N, F)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def hashgrid_encode(enc: "GridEncoding", params, x) -> jax.Array:
+    """Encode x (N, D) → (N, L·F). params: tuple of per-level tables."""
+    out, _ = _encode_fwd_impl(enc, params, x)
+    return out
+
+
+def _hge_fwd(enc, params, x):
+    out, feats = _encode_fwd_impl(enc, params, x)
+    return out, (x, feats)
+
+
+def _hge_bwd(enc, res, g):
+    from .scatter import scatter_add_merge, scatter_add_xla, splat_dense
+
+    x, feats = res
+    F = enc.n_features_per_level
+    L = enc.n_levels
+    D = enc.n_dims
+    C = 1 << D
+    N = x.shape[0]
+    g = g.astype(jnp.float32)
+    g_levels = [g[:, l * F : (l + 1) * F] for l in range(L)]
+
+    # recompute per-level geometry (pure VPU, cheap vs storing it)
+    geoms = []
+    for level in enc.levels:
+        op = enc._level_op(level)
+        grid, t, dchain = _corner_setup(op, x)
+        idx, w = _all_corners(op, grid, t)
+        geoms.append((op, grid, t, dchain, idx, w))
+
+    # ---- d/dtable ---------------------------------------------------
+    dtables = [None] * L
+    method = enc.grad_method
+    use_splat = method == "auto" and D in (2, 3)
+    merge_groups: dict[int, list[int]] = {}
+    for l, (op, grid, t, dchain, idx, w) in enumerate(geoms):
+        if method == "xla":
+            upd = (w[:, :, None] * g_levels[l][None, :, :]).reshape(C * N, F)
+            dtables[l] = scatter_add_xla(idx.reshape(C * N), upd, op.size)
+        elif use_splat and not op.hashed:
+            dtables[l] = splat_dense(
+                grid, t, g_levels[l], op.resolution, op.size,
+                compute_dtype=jnp.bfloat16,
+            )
+        else:
+            merge_groups.setdefault(op.size, []).append(l)
+    for size, lvls in merge_groups.items():
+        # one batched sort-reduce for all levels of this table size
+        idx_stack = jnp.stack([geoms[l][4].reshape(C * N) for l in lvls])
+        upd_stack = jnp.stack(
+            [
+                (geoms[l][5][:, :, None] * g_levels[l][None, :, :]).reshape(C * N, F)
+                for l in lvls
+            ]
+        )
+        tabs = scatter_add_merge(idx_stack, upd_stack, size)
+        for i, l in enumerate(lvls):
+            dtables[l] = tabs[i]
+
+    # ---- d/dx: analytic (tcnn grid backward dy_dx) ------------------
+    # dL/dx_d = Σ_l Σ_c (g_l·feats_lc) · sign_d(c) · Π_{d'≠d} a_{d'} · dchain_ld
+    dx = jnp.zeros((N, D), jnp.float32)
+    for l, (op, grid, t, dchain, idx, w) in enumerate(geoms):
+        gdotf = jnp.einsum(
+            "nf,cnf->cn", g_levels[l], feats[l].astype(jnp.float32)
+        )  # (C, N)
+        cols = []
+        for d in range(D):
+            acc = None
+            for c in range(C):
+                bits = [(c >> dd) & 1 for dd in range(D)]
+                prod = None
+                for dd in range(D):
+                    if dd == d:
+                        continue
+                    a = t[:, dd] if bits[dd] else (1.0 - t[:, dd])
+                    prod = a if prod is None else prod * a
+                if prod is None:  # D == 1
+                    prod = jnp.ones_like(t[:, 0])
+                term = gdotf[c] * (prod if bits[d] else -prod)
+                acc = term if acc is None else acc + term
+            cols.append(acc * dchain[:, d])
+        dx = dx + jnp.stack(cols, axis=-1)
+    dparams = tuple(dtables)
+    return dparams, dx.astype(x.dtype)
+
+
+hashgrid_encode.defvjp(_hge_fwd, _hge_bwd)
+
+
+# ---------------------------------------------------------------------------
+# retained round-1 op (used by Takikawa encoding + diagnostic tests)
+# ---------------------------------------------------------------------------
+
+
 @jax.custom_vjp
 def gather_interp(params, idx, w):
     """Weighted corner gather: out[n,f] = Σ_c w[c,n]·params[idx[c,n],f].
 
-    Custom VJP: the parameter gradient is a SCALAR flat scatter-add
-    instead of the row scatter autodiff would emit — measured on v5e,
-    XLA's row scatter costs ~82 ns/row while a flat scalar scatter runs
-    at ~11 ns/element (8× faster per update despite F× more updates).
-    Sort-based segment-sum variants lose to both (argsort dominates).
-    """
+    Custom VJP: parameter gradient via the sort-based merge reduction
+    (scatter-free; see ops.scatter.scatter_add_merge)."""
     C, N = idx.shape
     F = params.shape[1]
     feats = jnp.take(params, idx.reshape(C * N), axis=0).reshape(C, N, F)
@@ -64,18 +284,13 @@ def _gather_interp_fwd(params, idx, w):
 
 
 def _gather_interp_bwd(res, g):
+    from .scatter import scatter_add_merge
+
     (T, F), idx, w, feats = res
     C, N = idx.shape
-    # d/dw: (C,N) = Σ_f g[n,f]·feats[c,n,f]
     dw = jnp.einsum("nf,cnf->cn", g, feats.astype(g.dtype))
-    # d/dparams as a SCALAR flat scatter-add: measured on v5e, XLA's
-    # row-scatter costs ~82 ns/row while a flat scalar scatter runs at
-    # ~11 ns/element — 8× faster per update even though F× more updates.
     vals = (w[:, :, None].astype(jnp.float32) * g[None, :, :].astype(jnp.float32))
-    flat_idx = idx.reshape(C * N)
-    scalar_idx = (flat_idx[:, None] * F + jnp.arange(F, dtype=idx.dtype)[None, :]).reshape(-1)
-    dflat = jnp.zeros((T * F,), jnp.float32).at[scalar_idx].add(vals.reshape(-1))
-    dparams = dflat.reshape(T, F)
+    dparams = scatter_add_merge(idx.reshape(C * N), vals.reshape(C * N, F), T)
     zero_idx = jnp.zeros(idx.shape, dtype=jax.dtypes.float0)
     return dparams, zero_idx, dw
 
@@ -87,18 +302,19 @@ def _next_multiple(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
 
 
-@dataclasses.dataclass(frozen=True)
-class GridLevelSpec:
-    scale: float
-    resolution: int
-    size: int  # number of feature vectors in this level's table
-    offset: int  # offset (in feature vectors) into the flat table
-    hashed: bool
+# ---------------------------------------------------------------------------
+# encoding
+# ---------------------------------------------------------------------------
 
 
 @dataclasses.dataclass(frozen=True)
 class GridEncoding:
-    """Static configuration of a multiresolution grid encoding."""
+    """Static configuration of a multiresolution grid encoding.
+
+    Parameters are a tuple of per-level (size_l, F) float32 tables
+    (one pytree leaf per level). `pack_params`/`unpack_params` convert
+    to/from the tcnn flat layout for snapshots.
+    """
 
     n_dims: int = 3
     n_levels: int = 16
@@ -108,10 +324,13 @@ class GridEncoding:
     per_level_scale: float = 2.0
     interpolation: str = "linear"  # "linear" | "smoothstep" | "nearest"
     grid_type: str = "hash"  # "hash" | "dense" | "tiled"
-    # Route table gradients through the custom VJP (scalar-flat
-    # scatter backward, ~8× faster per update than XLA's row scatter
-    # on v5e). Disable to fall back to plain autodiff.
-    sorted_grads: bool = True
+    # Table-gradient algorithm:
+    #   "auto"  — dense levels via separable bf16 MXU splat, hashed
+    #             levels via the batched sort-merge reduction (default)
+    #   "merge" — sort-merge reduction for every level (exact fp32)
+    #   "xla"   — scalar scatter-add fallback (serial, exact)
+    #   "autodiff" — no custom VJP at all; reference for tests
+    grad_method: str = "auto"
 
     @property
     def levels(self) -> tuple[GridLevelSpec, ...]:
@@ -146,49 +365,41 @@ class GridEncoding:
     def n_output_dims(self) -> int:
         return self.n_levels * self.n_features_per_level
 
-    def init(self, key: jax.Array) -> jax.Array:
-        """Table init: uniform in [-1e-4, 1e-4] (tiny-cuda-nn convention)."""
-        return jax.random.uniform(
-            key, (self.n_entries, self.n_features_per_level), jnp.float32, -1e-4, 1e-4
+    def _level_op(self, level: GridLevelSpec) -> _LevelOp:
+        return _LevelOp(
+            n_dims=self.n_dims,
+            n_features=self.n_features_per_level,
+            scale=level.scale,
+            resolution=level.resolution,
+            size=level.size,
+            hashed=level.hashed,
+            interpolation=self.interpolation,
+            grad_method=self.grad_method,
         )
 
-    # --- static (numpy) per-level constants, computed once at trace time ---
-    def _static_arrays(self):
-        lv = self.levels
-        scales = np.array([l.scale for l in lv], np.float32)  # (L,)
-        sizes = np.array([l.size for l in lv], np.uint32)
-        offsets = np.array([l.offset for l in lv], np.uint32)
-        hashed = np.array([l.hashed for l in lv], bool)
-        resolutions = np.array([l.resolution for l in lv], np.uint32)
-        return scales, sizes, offsets, hashed, resolutions
+    def init(self, key: jax.Array) -> tuple[jax.Array, ...]:
+        """Per-level tables, uniform in [-1e-4, 1e-4] (tcnn convention)."""
+        F = self.n_features_per_level
+        keys = jax.random.split(key, self.n_levels)
+        return tuple(
+            jax.random.uniform(k, (lv.size, F), jnp.float32, -1e-4, 1e-4)
+            for k, lv in zip(keys, self.levels)
+        )
 
-    def _level_corner_index(self, level: GridLevelSpec, grid_coords, corner_bits):
-        """Global table index for one level/corner.
+    def pack_params(self, params: Sequence[jax.Array]) -> jax.Array:
+        """Concatenate per-level tables into the tcnn flat (T, F) layout."""
+        return jnp.concatenate(list(params), axis=0)
 
-        grid_coords: list of D (N,) int32 floor coords; corner_bits: D
-        python ints in {0,1}. Rank-1 math throughout — on TPU, (N,)
-        arrays put N in the lane dim; higher-rank small trailing dims
-        would be tile-padded to (8,128) and blow up memory 40×.
-        """
-        D = self.n_dims
-        if level.hashed:
-            idx = jnp.zeros_like(grid_coords[0], dtype=jnp.uint32)
-            for d in range(D):
-                c = (grid_coords[d] + corner_bits[d]).astype(jnp.uint32)
-                idx = idx ^ (c * np.uint32(_PRIMES[d] & 0xFFFFFFFF))
-        else:
-            idx = jnp.zeros_like(grid_coords[0], dtype=jnp.uint32)
-            stride = 1
-            for d in range(D):
-                c = (grid_coords[d] + corner_bits[d]).astype(jnp.uint32)
-                idx = idx + c * np.uint32(stride)
-                stride *= level.resolution
-        idx = idx % np.uint32(level.size)
-        return (idx + np.uint32(level.offset)).astype(jnp.int32)
+    def unpack_params(self, flat) -> tuple:
+        """Split a flat (T, F) table into per-level leaves. Accepts
+        jnp or np arrays; returns the same kind."""
+        return tuple(
+            flat[lv.offset : lv.offset + lv.size] for lv in self.levels
+        )
 
     def __call__(
         self,
-        params: jax.Array,
+        params: Sequence[jax.Array],
         x: jax.Array,
         max_level: Optional[jax.Array] = None,
         compute_dtype=jnp.float32,
@@ -196,51 +407,22 @@ class GridEncoding:
         """Encode positions.
 
         Args:
-          params: (n_entries, F) table.
+          params: per-level tables, tuple of (size_l, F); a single
+            packed (n_entries, F) array is also accepted.
           x: (N, D) positions in [0, 1].
           max_level: optional scalar or (N,) in [0, 1]; levels with
             l >= max_level * L contribute zero (coarse-to-fine training).
         Returns:
           (N, L*F) features, level-major.
         """
-        D = self.n_dims
+        if not isinstance(params, (tuple, list)):
+            params = self.unpack_params(params)
+        params = tuple(params)
         L, F = self.n_levels, self.n_features_per_level
-        C = 1 << D
-        xs = [x[:, d] for d in range(D)]  # D × (N,)
-
-        # One gather per level (corners stacked into a single take):
-        # 8× fewer gather/scatter ops in HLO than a per-corner loop —
-        # matters for both runtime and TPU compile time. Kept per-level
-        # so the 32×-lane-padded (C·N, F) gather output stays a bounded
-        # transient instead of one giant buffer.
-        N = x.shape[0]
-        outs = []
-        for level in self.levels:
-            pos = [xd * np.float32(level.scale) + 0.5 for xd in xs]
-            floor = [jnp.floor(p) for p in pos]
-            frac = [p - f for p, f in zip(pos, floor)]
-            if self.interpolation == "smoothstep":
-                frac = [t * t * (3.0 - 2.0 * t) for t in frac]
-            elif self.interpolation == "nearest":
-                frac = [jnp.round(t) for t in frac]
-            grid = [f.astype(jnp.int32) for f in floor]
-            idx_c, w_c = [], []
-            for c in range(C):
-                bits = [(c >> d) & 1 for d in range(D)]
-                idx_c.append(self._level_corner_index(level, grid, bits))
-                w = None
-                for d in range(D):
-                    wd = frac[d] if bits[d] else (1.0 - frac[d])
-                    w = wd if w is None else w * wd
-                w_c.append(w)
-            idx = jnp.stack(idx_c)  # (C, N)
-            w = jnp.stack(w_c)  # (C, N)
-            if self.sorted_grads:
-                outs.append(gather_interp(params, idx, w))
-            else:
-                feats = jnp.take(params, idx.reshape(C * N), axis=0).reshape(C, N, F)
-                outs.append(jnp.einsum("cn,cnf->nf", w.astype(params.dtype), feats))
-        out = jnp.concatenate(outs, axis=-1)  # (N, L*F)
+        if self.grad_method == "autodiff":
+            out, _ = _encode_fwd_impl(self, params, x)
+        else:
+            out = hashgrid_encode(self, params, x)
         if max_level is not None:
             max_level = jnp.asarray(max_level)
             lvl = jnp.repeat(jnp.arange(L, dtype=jnp.float32), F)
@@ -253,32 +435,15 @@ class GridEncoding:
 
     # retained for tests / diagnostics
     def corner_indices_and_weights(self, x: jax.Array):
-        """(N, L, C) global indices + interpolation weights (small-N
-        diagnostic path; the forward uses the rank-1 formulation)."""
-        D, L = self.n_dims, self.n_levels
-        C = 1 << D
-        xs = [x[:, d] for d in range(D)]
+        """(N, L, C) GLOBAL indices (packed-table space) + interpolation
+        weights (small-N diagnostic path)."""
         idx_levels, w_levels = [], []
         for level in self.levels:
-            pos = [xd * np.float32(level.scale) + 0.5 for xd in xs]
-            floor = [jnp.floor(p) for p in pos]
-            frac = [p - f for p, f in zip(pos, floor)]
-            if self.interpolation == "smoothstep":
-                frac = [t * t * (3.0 - 2.0 * t) for t in frac]
-            elif self.interpolation == "nearest":
-                frac = [jnp.round(t) for t in frac]
-            grid = [f.astype(jnp.int32) for f in floor]
-            idx_c, w_c = [], []
-            for c in range(C):
-                bits = [(c >> d) & 1 for d in range(D)]
-                idx_c.append(self._level_corner_index(level, grid, bits))
-                w = None
-                for d in range(D):
-                    wd = frac[d] if bits[d] else (1.0 - frac[d])
-                    w = wd if w is None else w * wd
-                w_c.append(w)
-            idx_levels.append(jnp.stack(idx_c, -1))
-            w_levels.append(jnp.stack(w_c, -1))
+            op = self._level_op(level)
+            grid, t, _ = _corner_setup(op, x)
+            idx, w = _all_corners(op, grid, t)  # (C, N)
+            idx_levels.append(idx.T + np.int32(level.offset))
+            w_levels.append(w.T)
         return jnp.stack(idx_levels, 1), jnp.stack(w_levels, 1)
 
 

@@ -24,17 +24,36 @@ import numpy as np
 SNAPSHOT_FORMAT_VERSION = 1
 
 
+def _pad16(v: int) -> int:
+    return (v + 15) // 16 * 16
+
+
 def _pack_params(params: dict, model) -> np.ndarray:
     """Flatten params into the tcnn order [density_net, rgb_net,
-    pos_enc, dir_enc] as fp16. MLP weights transposed to (out, in)."""
+    pos_enc, dir_enc] as fp16.
+
+    MLP matrices are stored transposed (out, in) at tcnn's PADDED
+    widths — every layer's input and output width rounded up to 16
+    (tcnn FullyFusedMLP alignment; the reference's rgb network packs
+    its 3-channel output as a 16-row matrix, nerf_network.h:357-372 +
+    padded_output_width) — padding rows/cols are zero."""
     blobs = []
     for net_key in ("density_net", "rgb_net", "net"):
         if net_key in params:
             for w in params[net_key]:
-                blobs.append(np.asarray(w, np.float32).T.reshape(-1))
+                w = np.asarray(w, np.float32)
+                fan_in, fan_out = w.shape
+                pw = np.zeros((_pad16(fan_out), _pad16(fan_in)), np.float32)
+                pw[:fan_out, :fan_in] = w.T
+                blobs.append(pw.reshape(-1))
     for enc_key in ("pos_enc", "enc"):
         if enc_key in params:
-            blobs.append(np.asarray(params[enc_key], np.float32).reshape(-1))
+            tbl = params[enc_key]
+            if isinstance(tbl, (list, tuple)):  # per-level hash-grid leaves
+                for leaf in tbl:
+                    blobs.append(np.asarray(leaf, np.float32).reshape(-1))
+            else:
+                blobs.append(np.asarray(tbl, np.float32).reshape(-1))
     if "dir_enc" in params and params["dir_enc"] is not None:
         leaves = params["dir_enc"]
         if isinstance(leaves, (list, tuple)):
@@ -62,18 +81,32 @@ def _unpack_params(blob: np.ndarray, params_template: dict) -> dict:
         if net_key in params_template:
             ws = []
             for w in params_template[net_key]:
-                wt = take((w.shape[1], w.shape[0]))
-                ws.append(wt.T)
+                fan_in, fan_out = w.shape
+                wt = take((_pad16(fan_out), _pad16(fan_in)))
+                ws.append(wt[:fan_out, :fan_in].T)
             out[net_key] = ws
     for enc_key in ("pos_enc", "enc"):
         if enc_key in params_template:
-            out[enc_key] = take(np.shape(params_template[enc_key]))
+            tmpl = params_template[enc_key]
+            if isinstance(tmpl, (list, tuple)):  # per-level hash-grid leaves
+                out[enc_key] = tuple(take(np.shape(t)) for t in tmpl)
+            else:
+                out[enc_key] = take(np.shape(tmpl))
     if "dir_enc" in params_template and params_template["dir_enc"] is not None:
         tmpl = params_template["dir_enc"]
         if isinstance(tmpl, (list, tuple)):
             out["dir_enc"] = [None if t is None else take(np.shape(t)) for t in tmpl]
         else:
             out["dir_enc"] = take(np.shape(tmpl))
+    if pos != blob.size:
+        # fail loudly on layout mismatch — a silent under-read would
+        # misalign every tensor after the first wrong one (advisor
+        # round-1 finding)
+        raise ValueError(
+            f"snapshot params_binary layout mismatch: consumed {pos} of "
+            f"{blob.size} halfs — wrong network config or incompatible "
+            f"packing"
+        )
     return out
 
 
@@ -89,6 +122,8 @@ def save_snapshot(
     camera: dict | None = None,
     aabb: dict | None = None,
     compress: bool = True,
+    optimizer_state=None,
+    cam_offsets=None,
 ):
     from .ops.morton import dense_to_morton_perm
 
@@ -114,6 +149,10 @@ def save_snapshot(
         snapshot["density_grid_binary"] = morton.astype(np.float16).tobytes()
     if nerf_extra:
         snapshot["nerf"] = nerf_extra
+    if optimizer_state is not None:
+        snapshot["optimizer_state"] = pack_tree(optimizer_state)
+    if cam_offsets is not None:
+        snapshot["cam_offsets"] = pack_tree(cam_offsets)
 
     doc = dict(network_config)
     doc["snapshot"] = snapshot
@@ -122,6 +161,37 @@ def save_snapshot(
     if path.suffix == ".ingp":
         data = zlib.compress(data) if compress else zlib.compress(data, 0)
     path.write_bytes(data)
+
+
+def pack_tree(tree) -> list:
+    """Serialize a pytree of arrays as [(dtype, shape, bytes), ...] in
+    jax.tree flatten order (used for optimizer state — reference knob
+    m_include_optimizer_state_in_snapshots, testbed.h:625)."""
+    import jax
+
+    leaves = jax.tree.leaves(tree)
+    out = []
+    for leaf in leaves:
+        a = np.asarray(leaf)
+        out.append([str(a.dtype), list(a.shape), a.tobytes()])
+    return out
+
+
+def unpack_tree(packed: list, template):
+    """Inverse of pack_tree onto the template's structure."""
+    import jax
+
+    leaves, treedef = jax.tree.flatten(template)
+    if len(packed) != len(leaves):
+        raise ValueError(
+            f"optimizer-state leaf count mismatch: snapshot has "
+            f"{len(packed)}, template needs {len(leaves)}"
+        )
+    new_leaves = [
+        np.frombuffer(raw, dtype=np.dtype(dt)).reshape(shape)
+        for (dt, shape, raw) in packed
+    ]
+    return jax.tree.unflatten(treedef, new_leaves)
 
 
 def load_snapshot_file(path) -> dict:

@@ -200,6 +200,7 @@ class Testbed:
             rgb = self.task.render(width, height)
             frame = np.concatenate([rgb, np.ones((*rgb.shape[:2], 1), np.float32)], -1)
         elif self.mode == TestbedMode.NERF:
+            self.task.min_transmittance = self.nerf_min_transmittance
             frame = self.task.render(
                 width,
                 height,
@@ -271,17 +272,40 @@ class Testbed:
         task = self.task
         density_grid = None
         nerf_extra = None
+        opt_state = None
+        cam_offsets = None
         if self.mode == TestbedMode.NERF:
+            ds = task.dataset
             density_grid = np.asarray(task.state.grid.density)
+            # dataset block: enough to reconstruct a render-ready task
+            # without the original training data (reference stores the
+            # dataset in its snapshots, testbed.cu:5288-5491 /
+            # create_empty_nerf_dataset)
             nerf_extra = {
-                "aabb_scale": task.dataset.aabb_scale,
+                "aabb_scale": ds.aabb_scale,
                 "rgb": {"rays_per_batch": task.n_rays_per_batch},
+                "dataset": {
+                    "n_images": int(ds.n_images),
+                    "resolution": list(ds.resolution),
+                    "scale": float(ds.scale),
+                    "offset": np.asarray(ds.offset, np.float32).tolist(),
+                    "is_hdr": bool(ds.is_hdr),
+                    "xforms": np.asarray(ds.xforms_start, np.float32).tobytes(),
+                    "focals": np.asarray(ds.focal_lengths, np.float32).tobytes(),
+                    "principals": np.asarray(
+                        ds.principal_points, np.float32).tobytes(),
+                },
             }
             params = task.state.params
             step = task.training_step
+            cam_offsets = jax_to_np_tree(task.state.cam)
+            if include_optimizer_state:
+                opt_state = task.state.opt_state
         else:
             params = task.params
             step = task.training_step
+            if include_optimizer_state:
+                opt_state = task.opt_state
         snapshot_io.save_snapshot(
             path,
             self.network_config,
@@ -292,6 +316,35 @@ class Testbed:
             density_grid=density_grid,
             nerf_extra=nerf_extra,
             camera={"matrix": np.asarray(self.camera_matrix).tolist(), "fov_axis": 1},
+            optimizer_state=opt_state,
+            cam_offsets=cam_offsets,
+        )
+
+    def _empty_nerf_dataset_from_snapshot(self, snap: dict):
+        """Reconstruct a render-ready dataset from the snapshot's
+        dataset block (the reference's create_empty_nerf_dataset,
+        nerf_loader.cu:154-170): zero images, real cameras."""
+        from .io.nerf_loader import NerfDataset
+
+        block = snap["nerf"]["dataset"]
+        n = int(block["n_images"])
+        w, h = block["resolution"]
+        xforms = np.frombuffer(block["xforms"], np.float32).reshape(n, 3, 4).copy()
+        focals = np.frombuffer(block["focals"], np.float32).reshape(n, 2).copy()
+        pps = np.frombuffer(block["principals"], np.float32).reshape(n, 2).copy()
+        images = np.zeros((n, h, w, 4), np.uint8)
+        return NerfDataset(
+            images=images,
+            is_hdr=bool(block.get("is_hdr", False)),
+            xforms_start=xforms,
+            xforms_end=xforms.copy(),
+            focal_lengths=focals,
+            principal_points=pps,
+            rolling_shutter=np.zeros((n, 4), np.float32),
+            resolution=(int(w), int(h)),
+            aabb_scale=int(snap["nerf"].get("aabb_scale", 1)),
+            scale=float(block.get("scale", 0.33)),
+            offset=np.asarray(block.get("offset", [0.5, 0.5, 0.5]), np.float32),
         )
 
     def load_snapshot(self, path: str):
@@ -300,13 +353,20 @@ class Testbed:
         self.network_config = {k: v for k, v in doc.items() if k != "snapshot"}
         mode = TestbedMode(snap["mode"])
         self.mode = mode
-        if self.task is None:
-            if not getattr(self, "scene_path", None):
-                raise RuntimeError(
-                    "load_snapshot before load_training_data requires a scene; "
-                    "load training data first (dataset payload restore is TODO)"
-                )
         import jax.numpy as jnp
+
+        if mode == TestbedMode.NERF and self.task is None:
+            # scene-free load: rebuild the task from the snapshot's
+            # dataset block (renders work; training needs real data)
+            if "nerf" not in snap or "dataset" not in snap.get("nerf", {}):
+                raise RuntimeError(
+                    "snapshot lacks a dataset block and no scene is loaded"
+                )
+            from .nerf.task import NerfTask
+
+            ds = self._empty_nerf_dataset_from_snapshot(snap)
+            self.nerf_dataset = ds
+            self.task = NerfTask(ds, self.network_config)
 
         if mode == TestbedMode.NERF:
             task = self.task
@@ -327,8 +387,19 @@ class Testbed:
                     mean_density=mean,
                     bitfield=_bitfield_from_density(density, mean),
                 )
+            opt_state = task.opt.init(params)
+            if "optimizer_state" in snap:
+                opt_state = np_to_jax_tree(
+                    snapshot_io.unpack_tree(snap["optimizer_state"], opt_state)
+                )
+            cam = task.state.cam
+            if "cam_offsets" in snap:
+                cam = np_to_jax_tree(
+                    snapshot_io.unpack_tree(snap["cam_offsets"], cam)
+                )
             task.state = dc.replace(
-                task.state, params=params, opt_state=task.opt.init(params), grid=gstate
+                task.state, params=params, opt_state=opt_state, grid=gstate,
+                cam=cam,
             )
             task.training_step = int(snap.get("training_step", 0))
             self.training_step = task.training_step
@@ -337,6 +408,10 @@ class Testbed:
             params = snapshot_io.restore_params(snap, jax_to_np_tree(task.params))
             task.params = np_to_jax_tree(params)
             task.opt_state = task.opt.init(task.params)
+            if "optimizer_state" in snap:
+                task.opt_state = np_to_jax_tree(
+                    snapshot_io.unpack_tree(snap["optimizer_state"], task.opt_state)
+                )
             task.training_step = int(snap.get("training_step", 0))
             self.training_step = task.training_step
 

@@ -46,6 +46,14 @@ def parse_args():
     p.add_argument("--near_distance", type=float, default=-1)
     p.add_argument("--exposure", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=1337)
+    # RFL training schedule (reference scripts/run.py:225-242)
+    p.add_argument("--train_mode", default="nerf",
+                   choices=["nerf", "rfl", "rflrelax"],
+                   help="NeRF / Radiance Field Loss / relaxed RFL")
+    p.add_argument("--rfl_warmup_steps", type=int, default=1000,
+                   help="steps of NeRF mode before switching to RFL")
+    p.add_argument("--rflrelax_begin_step", type=int, default=10000)
+    p.add_argument("--rflrelax_end_step", type=int, default=25000)
     return p.parse_args()
 
 
@@ -71,6 +79,15 @@ def main():
         t0 = time.time()
         last_print = 0
         while testbed.training_step < n_steps:
+            # mode schedule (reference run.py:225-242): warm up in NeRF
+            # mode; RflRelax only "surface-ifies" mid-training, with a
+            # NeRF fine-tune at the end
+            if args.train_mode == "rflrelax":
+                in_window = args.rflrelax_begin_step <= testbed.training_step < args.rflrelax_end_step
+                testbed.task.train_mode = "rflrelax" if in_window else "nerf"
+            elif args.train_mode == "rfl":
+                warm = testbed.training_step <= args.rfl_warmup_steps
+                testbed.task.train_mode = "nerf" if warm else "rfl"
             testbed.frame()
             if testbed.training_step - last_print >= 100:
                 last_print = testbed.training_step
@@ -107,14 +124,19 @@ def main():
 
         test_ds = load_nerf(args.test_transforms)
         task = testbed.task
-        psnrs, ssims = [], []
+        # reference protocol (run.py:257-317): black background, spp 8,
+        # min transmittance 1e-4, sRGB, snap-to-pixel-centers
+        task.min_transmittance = 1e-4
+        from instant_ngp_tpu.metrics import flip as flip_metric
+
+        psnrs, ssims, flips = [], [], []
         for i in range(test_ds.n_images):
             w, h = test_ds.resolution
             frame = task.render(
                 w, h, test_ds.xforms_start[i],
                 focal_length=tuple(test_ds.focal_lengths[i]),
                 principal_point=tuple(test_ds.principal_points[i]),
-                spp=1, background=(0, 0, 0, 0),
+                spp=8, background=(0, 0, 0, 0),
             )
             img = test_ds.images[i].astype(np.float32)
             if not test_ds.is_hdr:
@@ -127,9 +149,11 @@ def main():
             mse = float(np.mean((pred - gt) ** 2))
             psnrs.append(mse_to_psnr(mse))
             ssims.append(ssim(gt, pred))
-            print(f"  view {i}: psnr={psnrs[-1]:.2f} ssim={ssims[-1]:.3f}", flush=True)
+            flips.append(flip_metric(gt, pred))
+            print(f"  view {i}: psnr={psnrs[-1]:.2f} ssim={ssims[-1]:.3f} "
+                  f"flip={flips[-1]:.4f}", flush=True)
         print(f"PSNR={np.mean(psnrs):.2f} [min={np.min(psnrs):.2f} max={np.max(psnrs):.2f}] "
-              f"SSIM={np.mean(ssims):.3f}")
+              f"SSIM={np.mean(ssims):.3f} FLIP={np.mean(flips):.4f}")
 
     if args.screenshot_transforms:
         os.makedirs(args.screenshot_dir or ".", exist_ok=True)

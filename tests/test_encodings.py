@@ -134,13 +134,46 @@ class TestGridEncoding:
             return jnp.sum(enc(p, xx) ** 2)
 
         g_p, g_x = jax.grad(loss, argnums=(0, 1))(params, x)
-        assert np.isfinite(np.asarray(g_p)).all()
+        for leaf in jax.tree.leaves(g_p):
+            assert np.isfinite(np.asarray(leaf)).all()
+        assert sum(float(np.abs(np.asarray(l)).max()) for l in jax.tree.leaves(g_p)) > 0
         assert np.abs(np.asarray(g_x)).max() > 0
+
+    def test_custom_vjp_matches_autodiff_all_methods(self):
+        """Whole-encoding custom VJP (splat dense + merge hashed) vs
+        plain autodiff: table grads and position grads."""
+        import dataclasses
+
+        base = GridEncoding(n_dims=3, n_levels=6, n_features_per_level=2,
+                            log2_hashmap_size=8, base_resolution=4,
+                            per_level_scale=2.0, interpolation="smoothstep")
+        params = base.init(jax.random.PRNGKey(0))
+        # give tables real magnitude so dx is nontrivial
+        params = jax.tree.map(lambda t: t * 1e3, params)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3), minval=0.01, maxval=0.99)
+        cot = jax.random.normal(jax.random.PRNGKey(2), (64, base.n_output_dims))
+
+        def run(enc):
+            def loss(p, xx):
+                return jnp.sum(enc(p, xx) * cot)
+            return jax.grad(loss, argnums=(0, 1))(params, x)
+
+        ref_p, ref_x = run(dataclasses.replace(base, grad_method="autodiff"))
+        for method, tol in [("merge", 1e-5), ("xla", 1e-5), ("auto", 2e-2)]:
+            got_p, got_x = run(dataclasses.replace(base, grad_method=method))
+            for rl, gl in zip(jax.tree.leaves(ref_p), jax.tree.leaves(got_p)):
+                rl, gl = np.asarray(rl), np.asarray(gl)
+                scale = max(np.abs(rl).max(), 1e-6)
+                np.testing.assert_allclose(gl / scale, rl / scale, atol=tol,
+                                           err_msg=f"method={method}")
+            np.testing.assert_allclose(
+                np.asarray(got_x), np.asarray(ref_x), rtol=1e-3, atol=1e-4,
+                err_msg=f"method={method} dx")
 
     def test_max_level_masks_fine_levels(self):
         enc = GridEncoding(n_dims=2, n_levels=4, n_features_per_level=2,
                            log2_hashmap_size=12, base_resolution=4, per_level_scale=2.0)
-        params = enc.init(jax.random.PRNGKey(0)) + 1.0  # make features nonzero
+        params = jax.tree.map(lambda t: t + 1.0, enc.init(jax.random.PRNGKey(0)))
         x = jax.random.uniform(jax.random.PRNGKey(1), (8, 2))
         out = np.asarray(enc(params, x, max_level=0.5))
         assert np.abs(out[:, :4]).max() > 0  # levels 0-1 active

@@ -76,6 +76,73 @@ class TestErrorMap:
         assert (em >= 0).all()
         assert em.std() > 0  # non-uniform after deposits
 
+    def test_cdf_rebuild_and_importance_sampling(self):
+        """After a rebuild the CDFs are valid monotone distributions and
+        training keeps running with importance sampling on."""
+        task = make_task(use_error_map=True)
+        task._err_interval = 3
+        loss = task.train(8)  # crosses ≥1 rebuild
+        assert task._cdf_valid
+        assert np.isfinite(loss)
+        cdf_img = np.asarray(task._cdf_img)
+        assert np.all(np.diff(cdf_img) > 0) and abs(cdf_img[-1] - 1.0) < 1e-5
+        cdf_y = np.asarray(task._cdf_y)
+        assert np.all(np.diff(cdf_y, axis=1) > 0)
+        assert np.allclose(cdf_y[:, -1], 1.0, atol=1e-5)
+        cdf_x = np.asarray(task._cdf_x)
+        assert np.all(np.diff(cdf_x, axis=2) > 0)
+        assert np.allclose(cdf_x[..., -1], 1.0, atol=1e-5)
+        # interval grew ×1.5 (reference growth schedule)
+        assert task._err_interval > 3
+
+
+class TestTrainModes:
+    def test_all_modes_run_and_switch(self):
+        """Mode switches mid-training (the reference run.py RFL schedule
+        switches Nerf→Rfl→Nerf) without recompiling the world."""
+        task = make_task(use_error_map=False)
+        for mode in ("nerf", "rfl", "rflrelax", "nerf"):
+            task.train_mode = mode
+            loss = task.train(2)
+            assert np.isfinite(loss), mode
+
+    @pytest.mark.parametrize("mode", ["rfl", "rflrelax"])
+    def test_mode_loss_decreases(self, mode):
+        task = make_task(use_error_map=False)
+        task.train_mode = mode
+        l0 = task.train(2)
+        task.train(30)
+        l1 = task.train(2)
+        assert l1 < l0, (mode, l0, l1)
+
+    def test_rand_level_training_runs(self):
+        task = make_task(use_error_map=False)
+        task.max_level_rand_training = True
+        loss = task.train(4)
+        assert np.isfinite(loss)
+
+
+class TestSharpness:
+    def test_sharpness_maps_blurry_vs_sharp(self):
+        """Variance-of-Laplacian must rank a noisy image above a flat one."""
+        import jax
+
+        ds = g._synthetic_dataset(n_images=2, w=32, h=32)
+        rng = np.random.default_rng(0)
+        ds.images[0, ..., :3] = 128  # flat → zero Laplacian variance
+        ds.images[1, ..., :3] = rng.integers(0, 255, (32, 32, 3))
+        sm = ds.compute_sharpness_maps((4, 4))
+        assert sm.shape == (2, 4, 4)
+        assert sm[0].max() < 1e-6
+        assert sm[1].min() > 1e-4
+
+    def test_sharpness_weighted_training_runs(self):
+        task = make_task(use_error_map=True, include_sharpness_in_error=True)
+        loss = task.train(4)
+        assert np.isfinite(loss)
+        assert task.state.sharp_grid is not None
+        assert np.isfinite(np.asarray(task.state.sharp_grid)).all()
+
 
 class TestLossDecreases:
     def test_nerf_loss_decreases(self):

@@ -79,3 +79,90 @@ class TestTestbedImage:
         mse2 = tb2.compute_image_mse()
         # fp16 snapshot quantization allows small drift
         assert abs(mse1 - mse2) < 1e-3, (mse1, mse2)
+
+    def test_snapshot_optimizer_state_roundtrip(self, tiny_image_scene, tmp_path):
+        scene, cfg = tiny_image_scene
+        tb = Testbed()
+        tb.training_batch_size = 1024
+        tb.reload_network_from_file(str(cfg))
+        tb.load_training_data(str(scene))
+        for _ in range(8):
+            tb.frame()
+        snap = tmp_path / "s_opt.ingp"
+        tb.save_snapshot(str(snap), include_optimizer_state=True)
+
+        tb2 = Testbed()
+        tb2.training_batch_size = 1024
+        tb2.reload_network_from_file(str(cfg))
+        tb2.load_training_data(str(scene))
+        tb2.load_snapshot(str(snap))
+        import jax
+
+        for a, b in zip(jax.tree.leaves(tb.task.opt_state),
+                        jax.tree.leaves(tb2.task.opt_state)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_params_binary_layout_padded_widths(self, tiny_image_scene, tmp_path):
+        """params_binary uses tcnn padded widths (every MLP matrix
+        stored (pad16(out), pad16(in)) transposed) and unpack asserts
+        full consumption (nerf_network.h:357-372 layout)."""
+        scene, cfg = tiny_image_scene
+        tb = Testbed()
+        tb.training_batch_size = 1024
+        tb.reload_network_from_file(str(cfg))
+        tb.load_training_data(str(scene))
+        tb.frame()
+        snap = tmp_path / "s_layout.msgpack"
+        tb.save_snapshot(str(snap))
+        from instant_ngp_tpu import snapshot as snapshot_io
+
+        doc = snapshot_io.load_snapshot_file(str(snap))
+        blob = np.frombuffer(doc["snapshot"]["params_binary"], np.float16)
+        params = tb.task.params
+        expect = 0
+        for w in params["net"]:
+            fi, fo = w.shape
+            expect += ((fo + 15) // 16 * 16) * ((fi + 15) // 16 * 16)
+        for leaf in params["enc"]:
+            expect += int(np.prod(np.shape(leaf)))
+        assert blob.size == expect, (blob.size, expect)
+        # truncated blob → loud failure instead of silent misalignment
+        import jax
+
+        template = jax.tree.map(lambda x: np.asarray(x), tb.task.params)
+        with pytest.raises(ValueError):
+            snapshot_io._unpack_params(blob[:-1], template)
+
+
+class TestSceneFreeNerfSnapshot:
+    def test_nerf_snapshot_loads_without_scene(self, tmp_path):
+        import __graft_entry__ as g
+        from instant_ngp_tpu.nerf.task import NerfTask
+
+        tb = Testbed()
+        tb.network_config = g._tiny_nerf_config()
+        ds = g._synthetic_dataset()
+        tb.nerf_dataset = ds
+        tb.mode = TestbedMode.NERF
+        tb.task = NerfTask(ds, tb.network_config, n_rays_per_batch=64,
+                           max_samples_per_ray=4, n_march_iters=8)
+        tb.task.train(2)
+        tb.training_step = tb.task.training_step
+        snap = tmp_path / "scene_free.ingp"
+        tb.save_snapshot(str(snap), include_optimizer_state=True)
+
+        tb2 = Testbed()  # NO training data loaded
+        tb2.load_snapshot(str(snap))
+        assert tb2.mode == TestbedMode.NERF
+        assert tb2.training_step == 2
+        # params restored identically (modulo fp16)
+        import jax
+
+        for a, b in zip(jax.tree.leaves(tb.task.state.params),
+                        jax.tree.leaves(tb2.task.state.params)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-3, rtol=1e-2)
+        # render works without any scene data
+        frame = tb2.render(8, 8, camera_matrix=ds.xforms_start[0])
+        assert frame.shape == (8, 8, 4)
+        assert np.isfinite(frame).all()
