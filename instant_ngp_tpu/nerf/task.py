@@ -289,6 +289,19 @@ class NerfTask:
             "focals": jnp.asarray(dataset.focal_lengths),
             "principals": jnp.asarray(dataset.principal_points),
         }
+        # rolling shutter / motion blur: per-scanline camera slerp
+        # between xform_start and xform_end (reference
+        # get_xform_given_rolling_shutter, common_device.cuh:670-674;
+        # training ray gen testbed_nerf.cu:740-756)
+        self.has_motion = bool(
+            not np.allclose(dataset.xforms_start, dataset.xforms_end)
+            or np.any(np.asarray(dataset.rolling_shutter) != 0)
+        )
+        if self.has_motion:
+            self.data["xforms_end"] = jnp.asarray(dataset.xforms_end)
+            self.data["rolling_shutter"] = jnp.asarray(
+                dataset.rolling_shutter, jnp.float32
+            )
         if dataset.depths is not None:
             self.data["depths"] = jnp.asarray(dataset.depths, jnp.float32)
         if include_sharpness_in_error:
@@ -336,19 +349,30 @@ class NerfTask:
         rgb = srgb_to_linear(rgba[:, :3]) * rgba[:, 3:4]
         return jnp.concatenate([rgb, rgba[:, 3:4]], axis=-1), ~masked
 
-    def _generate_rays(self, data, img_idx, uv, cam=None):
+    def _generate_rays(self, data, img_idx, uv, cam=None, motion_time=None):
         """uv → world ray with the dataset's lens model (reference
         uv_to_ray, common_device.cuh:268-527), optionally perturbed by
         trainable camera offsets (pose/focal optimization — gradients
         flow through here via autodiff, replacing the reference's
         hand-written ray-differentiation kernels)."""
         from ..common import LensMode
-        from ..render.camera import so3_exp, uv_to_dir_cam
+        from ..render.camera import camera_slerp, so3_exp, uv_to_dir_cam
 
         w, h = self.dataset.resolution
         focal = data["focals"][img_idx]  # (R,2)
         pp = data["principals"][img_idx]
         xform = data["xforms"][img_idx]  # (R,3,4)
+        if self.has_motion and "xforms_end" in data:
+            # per-ray shutter time: rs.x + rs.y·u + rs.z·v + rs.w·rand
+            rs = data["rolling_shutter"][img_idx]  # (R,4)
+            if motion_time is None:
+                motion_time = jnp.zeros(uv.shape[0])
+            pixel_t = jnp.clip(
+                rs[:, 0] + rs[:, 1] * uv[:, 0] + rs[:, 2] * uv[:, 1]
+                + rs[:, 3] * motion_time,
+                0.0, 1.0,
+            )
+            xform = camera_slerp(xform, data["xforms_end"][img_idx], pixel_t)
         if cam is not None and self.optimize_focal_length:
             focal = focal * (1.0 + cam["focal"])[None, :]
         dir_cam = uv_to_dir_cam(
@@ -544,8 +568,17 @@ class NerfTask:
             img_idx = jax.lax.with_sharding_constraint(img_idx, shard)
             uv = jax.lax.with_sharding_constraint(uv, shard)
 
+        # per-ray motion-blur time (reference motionblur_time = rand,
+        # testbed_nerf.cu:740); same draw reused by the cam-opt ray gen
+        motion_time = None
+        if self.has_motion:
+            key, k_mt = jax.random.split(key)
+            motion_time = jax.random.uniform(k_mt, (R,))
         # march with current (non-differentiated) camera params
-        o0, d0 = self._generate_rays(data, img_idx, uv, jax.lax.stop_gradient(state.cam))
+        o0, d0 = self._generate_rays(
+            data, img_idx, uv, jax.lax.stop_gradient(state.cam),
+            motion_time=motion_time,
+        )
         jitter = jax.random.uniform(k_jit, (R,))
         ts, dts, valid, _, n_valid = march_rays(
             o0,
@@ -594,7 +627,9 @@ class NerfTask:
                     + (1.0 - a) * bg
                 )
             if self.optimize_extrinsics or self.optimize_focal_length:
-                o, d = self._generate_rays(data, img_idx, uv, cam)
+                o, d = self._generate_rays(
+                    data, img_idx, uv, cam, motion_time=motion_time
+                )
             else:
                 o, d = o0, d0
             extra = cam["extra"][img_idx] if "extra" in cam else None
@@ -1016,6 +1051,7 @@ class NerfTask:
         background: tuple = (0.0, 0.0, 0.0, 0.0),
         to_srgb: bool = False,
         render_mode: str = "shade",
+        uv_warp_fn=None,
     ) -> np.ndarray:
         """Render a frame → (H, W, 4) float32 RGBA.
 
@@ -1065,6 +1101,8 @@ class NerfTask:
             uv = np.stack(
                 [(xs + off[0]) / width, (ys + off[1]) / height], -1
             ).astype(np.float32)
+            if uv_warp_fn is not None:  # foveated ray grids
+                uv = np.asarray(uv_warp_fn(uv), np.float32)
             uv = np.pad(uv, ((0, n_pad - n), (0, 0)))
             rgbs, alphas, depths = [], [], []
             for i in range(0, n_pad, chunk):

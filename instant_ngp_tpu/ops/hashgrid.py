@@ -202,9 +202,36 @@ def _hge_bwd(enc, res, g):
     dtables = [None] * L
     method = enc.grad_method
     use_splat = method == "auto" and D in (2, 3)
+    # per-sample uniforms for stochastic-corner selection, derived from
+    # the position bits (changes every step with the march jitter; no
+    # PRNG key reaches a custom-VJP backward)
+    u_rand = None
+    if enc.hashed_grad_corners == 1:
+        bits = jax.lax.bitcast_convert_type(x, jnp.uint32)  # (N, D)
+        h = jnp.zeros_like(bits[:, 0])
+        for d in range(D):
+            h = h ^ (bits[:, d] * np.uint32(_PRIMES[(d + 1) % len(_PRIMES)]))
+        h = h * np.uint32(0x9E3779B1)
+        u_rand = (h >> 8).astype(jnp.float32) * np.float32(2.0**-24)
     merge_groups: dict[int, list[int]] = {}
     for l, (op, grid, t, dchain, idx, w) in enumerate(geoms):
-        if method == "xla":
+        if op.hashed and enc.hashed_grad_corners == 1 and method != "xla":
+            # Stochastic single-corner table gradient (TPU-first
+            # design note): every scatter formulation on TPU costs
+            # ~10-40 ns per serial element (scripts/bench_primitives),
+            # so the C=2^D corner updates per sample dominate training.
+            # Picking ONE corner per sample with probability w_c is an
+            # unbiased estimator of the full update (Σ_c w_c = 1 for
+            # (smooth)linear interpolation) at 1/C the scatter cost.
+            # Decorrelated across levels by folding the level index
+            # into the uniform.
+            u_l = (u_rand + np.float32(l * 0.6180339887)) % 1.0
+            cdf = jnp.cumsum(w, axis=0)  # (C, N), last row == 1
+            c_sel = jnp.sum(cdf < u_l[None, :] * cdf[-1], axis=0)
+            c_sel = jnp.clip(c_sel, 0, C - 1)
+            idx_sel = jnp.take_along_axis(idx, c_sel[None, :], axis=0)[0]
+            dtables[l] = scatter_add_xla(idx_sel, g_levels[l], op.size)
+        elif method == "xla":
             upd = (w[:, :, None] * g_levels[l][None, :, :]).reshape(C * N, F)
             dtables[l] = scatter_add_xla(idx.reshape(C * N), upd, op.size)
         elif use_splat and not op.hashed:
@@ -331,6 +358,11 @@ class GridEncoding:
     #   "xla"   — scalar scatter-add fallback (serial, exact)
     #   "autodiff" — no custom VJP at all; reference for tests
     grad_method: str = "auto"
+    # Hashed-level gradient corners: 2^D (exact) or 1 (stochastic
+    # single-corner, unbiased, 1/2^D the scatter cost — see the design
+    # note in _hge_bwd). Dense levels always use all corners (their
+    # splat backward is matmul-cheap).
+    hashed_grad_corners: int = 8
 
     @property
     def levels(self) -> tuple[GridLevelSpec, ...]:

@@ -114,3 +114,38 @@ def so3_exp(w):
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
     return jnp.eye(3) + a * K + b * (K @ K)
+
+
+def so3_log(R):
+    """Inverse of so3_exp: (…,3,3) rotation → (…,3) axis-angle, with
+    Taylor guards near θ=0 (not valid at θ=π, which camera slerp over
+    a frame's exposure never approaches)."""
+    tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    cos = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
+    theta = jnp.arccos(cos)
+    w = jnp.stack(
+        [
+            R[..., 2, 1] - R[..., 1, 2],
+            R[..., 0, 2] - R[..., 2, 0],
+            R[..., 1, 0] - R[..., 0, 1],
+        ],
+        -1,
+    )  # = 2·sin(θ)·axis
+    small = theta < 1e-4
+    sin = jnp.where(small, 1.0, jnp.sin(theta))
+    factor = jnp.where(small, 0.5 + theta * theta / 12.0, theta / (2.0 * sin))
+    return w * factor[..., None]
+
+
+def camera_slerp(xform_start, xform_end, t):
+    """Geodesic interpolation between two (…,3,4) camera matrices:
+    rotation along the SO(3) geodesic (equals quaternion slerp),
+    translation lerped (reference camera_slerp,
+    common_device.cuh:664-668). t broadcasts over leading dims."""
+    Rs, Re = xform_start[..., :3], xform_end[..., :3]
+    ts_, te = xform_start[..., 3], xform_end[..., 3]
+    w = so3_log(Re @ jnp.swapaxes(Rs, -1, -2))
+    t = jnp.asarray(t)[..., None]
+    R = so3_exp(w * t) @ Rs
+    trans = ts_ * (1.0 - t) + te * t
+    return jnp.concatenate([R, trans[..., None]], axis=-1)

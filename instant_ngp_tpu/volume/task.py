@@ -70,6 +70,19 @@ class VolumeTask:
 
         self.density_grid = jnp.asarray(dense)
         self.global_majorant = float(dense.max())
+        # 128³ occupancy bitgrid in world space (reference load_volume,
+        # testbed_volume.cu:674-697): delta-tracking events only count
+        # inside occupied cells (walk_to_next_event :70-88), which is
+        # what makes most recorded vertices land in real density.
+        res = np.asarray(dense.shape)
+        ii, jj, kk = np.nonzero(dense > 1e-3)
+        extent = res / float(res.max())
+        centers = (np.stack([ii, jj, kk], -1) + 0.5) / res  # in box coords
+        world = (0.5 - extent / 2) + centers * extent
+        cell = np.clip((world * 128.0 + 0.5).astype(np.int32), 0, 127)
+        bitgrid = np.zeros((128, 128, 128), bool)
+        bitgrid[cell[:, 0], cell[:, 1], cell[:, 2]] = True
+        self.bitgrid = jnp.asarray(bitgrid)
         self.albedo = albedo
         self.scattering = scattering
         self.distance_scale = 1.0 / max(inv_distance_scale, 0.01)
@@ -101,8 +114,7 @@ class VolumeTask:
 
     # ------------------------------------------------------------------
     def _grid_density_at(self, pos, grid=None):
-        """GT density at world pos (nearest voxel, like the reference's
-        jittered nearest read)."""
+        """GT density at world pos (nearest voxel)."""
         grid = self.density_grid if grid is None else grid
         rel = (pos - jnp.asarray(self.aabb_min)) / (
             jnp.asarray(self.aabb_max) - jnp.asarray(self.aabb_min)
@@ -114,90 +126,145 @@ class VolumeTask:
         vals = jnp.take(grid.reshape(-1), flat)
         return jnp.where(inb, vals, 0.0)
 
+    def _grid_density_at_jittered(self, pos, jitter, grid=None):
+        """GT density with a jittered voxel index — the reference reads
+        acc.getValue(int(indexpos + rand)) (testbed_volume.cu:135-137),
+        a stochastic trilinear interpolation."""
+        grid = self.density_grid if grid is None else grid
+        rel = (pos - jnp.asarray(self.aabb_min)) / (
+            jnp.asarray(self.aabb_max) - jnp.asarray(self.aabb_min)
+        )
+        fidx = rel * jnp.asarray(self.grid_res, jnp.float32) - 0.5 + jitter
+        idx = jnp.floor(fidx).astype(jnp.int32)
+        inb = jnp.all((idx >= 0) & (idx < jnp.asarray(self.grid_res)), axis=-1)
+        idx = jnp.clip(idx, 0, jnp.asarray(self.grid_res) - 1)
+        flat = (idx[..., 0] * self.grid_res[1] + idx[..., 1]) * self.grid_res[2] + idx[..., 2]
+        vals = jnp.take(grid.reshape(-1), flat)
+        return jnp.where(inb, vals, 0.0)
+
+    def _bitgrid_at(self, pos):
+        """Occupancy of the 128³ world-space bitgrid at pos (..., 3)."""
+        cell = jnp.clip((pos * 128.0 + 0.5).astype(jnp.int32), 0, 127)
+        flat = (cell[..., 0] * 128 + cell[..., 1]) * 128 + cell[..., 2]
+        return jnp.take(self.bitgrid.reshape(-1), flat)
+
     def _generate_batch(self, key, grid=None):
-        """Delta-tracking path tracer → (pos (B,3), target (B,4), valid)."""
+        """Delta-tracking path tracer → (pos (B,3), target (B,4), valid).
+
+        Faithful recast of volume_generate_training_data_kernel
+        (testbed_volume.cu:93-169) in lockstep:
+          * events only in occupied bitgrid cells (walk_to_next_event)
+          * each path RESPAWNS with a fresh ray after escape/absorb
+            until all MAX_TRAIN_VERTICES slots hold a vertex — batch
+            utilization ~100% instead of ~the cloud's fill fraction
+          * each vertex gets the terminal radiance of ITS attempt
+          * GT reads jitter the voxel index (stochastic trilinear)
+        """
         n_paths = self.batch_size // MAX_TRAIN_VERTICES
-        k1, k2, k3 = jax.random.split(key, 3)
         aabb_min = jnp.asarray(self.aabb_min)
         aabb_max = jnp.asarray(self.aabb_max)
         diag = aabb_max - aabb_min
-
-        # start outside on a sphere, aim at a random point in the box
-        d0 = jax.random.normal(k1, (n_paths, 3))
-        d0 = d0 / jnp.linalg.norm(d0, axis=-1, keepdims=True)
-        pos = d0 * 2.0 + 0.5
-        target_pt = jax.random.uniform(k2, (n_paths, 3)) * diag + aabb_min
-        dirs = target_pt - pos
-        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        V = MAX_TRAIN_VERTICES
+        up = jnp.asarray(self.up_dir)
+        sun = jnp.asarray(self.sun_dir)
+        sky = jnp.asarray(self.sky_col)
 
         from ..ops.raymarch import ray_intersect_aabb
 
-        tmin, tmax = ray_intersect_aabb(pos, dirs, aabb_min, aabb_max)
-        pos = pos + (tmin + 1e-6)[:, None] * dirs
+        def spawn(k):
+            k1, k2 = jax.random.split(k)
+            d0 = jax.random.normal(k1, (n_paths, 3))
+            d0 = d0 / jnp.linalg.norm(d0, axis=-1, keepdims=True)
+            pos = d0 * 2.0 + 0.5
+            target_pt = jax.random.uniform(k2, (n_paths, 3)) * diag + aabb_min
+            dirs = target_pt - pos
+            dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+            tmin, _ = ray_intersect_aabb(pos, dirs, aabb_min, aabb_max)
+            pos = pos + (jnp.maximum(tmin, 0.0) + 1e-6)[:, None] * dirs
+            return pos, dirs
 
+        k_spawn0, k_scan = jax.random.split(key)
+        pos0, dirs0 = spawn(k_spawn0)
         scale = self.distance_scale / self.global_majorant
-        keys = jax.random.split(k3, 128)
+        keys = jax.random.split(k_scan, 192)
+        iota_v = jax.lax.broadcasted_iota(jnp.int32, (n_paths, V), 1)
+
+        def finalize(rec_rgb, pending_from, n_rec, dirs, throughput):
+            """Assign this attempt's terminal radiance to its vertices."""
+            radiance = proc_envmap(dirs, up, sun, sky) * throughput[:, None]
+            pend = (iota_v >= pending_from[:, None]) & (iota_v < n_rec[:, None])
+            return jnp.where(pend[..., None], radiance[:, None, :], rec_rgb)
 
         def step(carry, kk):
-            pos, dirs, throughput, alive, n_rec, rec_pos, rec_den = carry
-            ka, kb, kc = jax.random.split(kk, 3)
+            (pos, dirs, throughput, done, n_rec, pend_from,
+             rec_pos, rec_den, rec_rgb) = carry
+            ka, kb, kc, kd, kj = jax.random.split(kk, 5)
             zeta1 = jax.random.uniform(ka, (n_paths,))
             dt = -jnp.log(1.0 - zeta1) * scale
             pos = pos + dirs * dt[:, None]
             inside = jnp.all((pos >= aabb_min) & (pos <= aabb_max), axis=-1)
-            alive = alive & inside
+            escaped = ~done & ~inside
 
-            density = self._grid_density_at(pos, grid)
-            occupied = density > 0.0
-            record = alive & occupied & (n_rec < MAX_TRAIN_VERTICES)
-            slot = jnp.clip(n_rec, 0, MAX_TRAIN_VERTICES - 1)
-            rec_pos = jnp.where(
-                (record[:, None] & (jax.lax.broadcasted_iota(jnp.int32, (n_paths, MAX_TRAIN_VERTICES), 1) == slot[:, None]))[..., None],
-                pos[:, None, :], rec_pos,
-            )
-            onehot = jax.lax.broadcasted_iota(jnp.int32, (n_paths, MAX_TRAIN_VERTICES), 1) == slot[:, None]
-            rec_den = jnp.where(record[:, None] & onehot, density[:, None], rec_den)
+            # event only in occupied space (reference walk_to_next_event)
+            event = ~done & inside & self._bitgrid_at(pos)
+            jitter = jax.random.uniform(kj, (n_paths, 3))
+            density = self._grid_density_at_jittered(pos, jitter, grid)
+            record = event & (n_rec < V)
+            onehot = iota_v == jnp.clip(n_rec, 0, V - 1)[:, None]
+            rec_pos = jnp.where((record[:, None] & onehot)[..., None],
+                                pos[:, None, :], rec_pos)
+            rec_den = jnp.where(record[:, None] & onehot,
+                                density[:, None], rec_den)
             n_rec = n_rec + record.astype(jnp.int32)
 
-            extinction_prob = density / self.global_majorant
+            extinction_prob = jnp.where(event, density / self.global_majorant, 0.0)
             scatter_prob = extinction_prob * self.albedo
             zeta2 = jax.random.uniform(kb, (n_paths,))
-            null = zeta2 >= extinction_prob
-            scatter = (~null) & (zeta2 < scatter_prob)
-            absorb = (~null) & ~scatter
+            real = event & (zeta2 < extinction_prob)
+            scatter = real & (zeta2 < scatter_prob)
+            absorb = real & ~scatter
             new_dir = jax.random.normal(kc, (n_paths, 3))
             new_dir = dirs * self.scattering + new_dir / jnp.linalg.norm(
-                new_dir, axis=-1, keepdims=True
-            )
+                new_dir, axis=-1, keepdims=True)
             new_dir = new_dir / jnp.linalg.norm(new_dir, axis=-1, keepdims=True)
-            dirs = jnp.where((alive & scatter)[:, None], new_dir, dirs)
-            throughput = jnp.where(alive & absorb, 0.0, throughput)
-            alive = alive & ~absorb
-            return (pos, dirs, throughput, alive, n_rec, rec_pos, rec_den), None
+            dirs = jnp.where(scatter[:, None], new_dir, dirs)
+
+            # attempt end: escape (throughput 1) or absorb (throughput 0)
+            died = escaped | absorb
+            thr = jnp.where(absorb, 0.0, 1.0)
+            rec_rgb_new = finalize(rec_rgb, pend_from, n_rec, dirs, thr)
+            rec_rgb = jnp.where(died[:, None, None], rec_rgb_new, rec_rgb)
+            pend_from = jnp.where(died, n_rec, pend_from)
+            done = done | (died & (n_rec >= V))
+
+            # respawn unfinished paths with fresh rays
+            respawn = died & ~done
+            s_pos, s_dirs = spawn(kd)
+            pos = jnp.where(respawn[:, None], s_pos, pos)
+            dirs = jnp.where(respawn[:, None], s_dirs, dirs)
+            return (pos, dirs, throughput, done, n_rec, pend_from,
+                    rec_pos, rec_den, rec_rgb), None
 
         init = (
-            pos, dirs, jnp.ones((n_paths,)), jnp.ones((n_paths,), bool),
-            jnp.zeros((n_paths,), jnp.int32),
-            jnp.zeros((n_paths, MAX_TRAIN_VERTICES, 3)),
-            jnp.zeros((n_paths, MAX_TRAIN_VERTICES)),
+            pos0, dirs0, jnp.ones((n_paths,)), jnp.zeros((n_paths,), bool),
+            jnp.zeros((n_paths,), jnp.int32), jnp.zeros((n_paths,), jnp.int32),
+            jnp.zeros((n_paths, V, 3)), jnp.zeros((n_paths, V)),
+            jnp.zeros((n_paths, V, 3)),
         )
-        (pos, dirs, throughput, alive, n_rec, rec_pos, rec_den), _ = jax.lax.scan(
-            step, init, keys
-        )
+        (pos, dirs, throughput, done, n_rec, pend_from,
+         rec_pos, rec_den, rec_rgb), _ = jax.lax.scan(step, init, keys)
 
-        radiance = proc_envmap(
-            dirs, jnp.asarray(self.up_dir), jnp.asarray(self.sun_dir),
-            jnp.asarray(self.sky_col),
-        ) * throughput[:, None]
+        # attempts still in flight at the iteration cap: terminal
+        # radiance with full throughput (reference falls out of its
+        # 128-iter loop with throughput = 1)
+        rec_rgb = finalize(rec_rgb, pend_from, n_rec, dirs, jnp.ones((n_paths,)))
 
-        B = n_paths * MAX_TRAIN_VERTICES
+        B = n_paths * V
         pts = rec_pos.reshape(B, 3)
-        tgt_rgb = jnp.repeat(radiance, MAX_TRAIN_VERTICES, axis=0)
-        tgt = jnp.concatenate([tgt_rgb, rec_den.reshape(B, 1)], -1)
-        valid = (
-            jax.lax.broadcasted_iota(jnp.int32, (n_paths, MAX_TRAIN_VERTICES), 1)
-            < n_rec[:, None]
-        ).reshape(B)
+        tgt = jnp.concatenate(
+            [rec_rgb.reshape(B, 3), rec_den.reshape(B, 1)], -1
+        )
+        valid = (iota_v < n_rec[:, None]).reshape(B)
         return pts, tgt, valid
 
     def _step(self, params, opt_state, grid, key):

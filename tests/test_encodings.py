@@ -170,6 +170,40 @@ class TestGridEncoding:
                 np.asarray(got_x), np.asarray(ref_x), rtol=1e-3, atol=1e-4,
                 err_msg=f"method={method} dx")
 
+    def test_stochastic_corner_grad_unbiased(self):
+        """hashed_grad_corners=1 gradient must equal the exact gradient
+        in expectation over positions (unbiased estimator)."""
+        import dataclasses
+
+        base = GridEncoding(n_dims=3, n_levels=2, n_features_per_level=2,
+                            log2_hashmap_size=4, base_resolution=16,
+                            per_level_scale=2.0)
+        assert base.levels[0].hashed  # tiny table → hashed at level 0
+        sto = dataclasses.replace(base, hashed_grad_corners=1)
+        params = jax.tree.map(lambda t: t * 1e3, base.init(jax.random.PRNGKey(0)))
+        N = 4096
+
+        def table_grad(enc, x):
+            def loss(p):
+                return jnp.sum(enc(p, x))
+            return jax.grad(loss)(params)
+
+        # many independent batches: stochastic mean → exact mean
+        acc_exact = None
+        acc_sto = None
+        for i in range(30):
+            x = jax.random.uniform(jax.random.PRNGKey(i), (N, 3))
+            ge = table_grad(base, x)
+            gs = table_grad(sto, x)
+            add = lambda a, b: b if a is None else jax.tree.map(jnp.add, a, b)
+            acc_exact = add(acc_exact, ge)
+            acc_sto = add(acc_sto, gs)
+        for e, s in zip(jax.tree.leaves(acc_exact), jax.tree.leaves(acc_sto)):
+            e, s = np.asarray(e) / 30, np.asarray(s) / 30
+            scale = np.abs(e).max() + 1e-9
+            # Monte-Carlo noise with ~30·4096/16 draws per row
+            assert np.abs(s - e).max() / scale < 0.15, np.abs(s - e).max() / scale
+
     def test_max_level_masks_fine_levels(self):
         enc = GridEncoding(n_dims=2, n_levels=4, n_features_per_level=2,
                            log2_hashmap_size=12, base_resolution=4, per_level_scale=2.0)

@@ -122,6 +122,55 @@ class TestTrainModes:
         assert np.isfinite(loss)
 
 
+class TestRollingShutter:
+    def test_camera_slerp_endpoints_and_midpoint(self):
+        import jax.numpy as jnp
+
+        from instant_ngp_tpu.render.camera import camera_slerp, so3_exp
+
+        rng = np.random.default_rng(0)
+        w = jnp.asarray([0.0, 0.0, 0.6])  # 0.6 rad about z
+        R0 = np.eye(3, dtype=np.float32)
+        R1 = np.asarray(so3_exp(w))
+        x0 = np.concatenate([R0, [[0.0], [0.0], [0.0]]], 1).astype(np.float32)
+        x1 = np.concatenate([R1, [[1.0], [2.0], [3.0]]], 1).astype(np.float32)
+        for t, expect_w, expect_tr in [
+            (0.0, 0.0, [0, 0, 0]), (1.0, 0.6, [1, 2, 3]), (0.5, 0.3, [0.5, 1, 1.5]),
+        ]:
+            out = np.asarray(camera_slerp(jnp.asarray(x0), jnp.asarray(x1), t))
+            expect_R = np.asarray(so3_exp(jnp.asarray([0.0, 0.0, expect_w])))
+            np.testing.assert_allclose(out[:, :3], expect_R, atol=1e-5)
+            np.testing.assert_allclose(out[:, 3], expect_tr, atol=1e-6)
+
+    def test_rolling_shutter_training_uses_end_xform(self):
+        """With rolling shutter active, rays from the bottom scanline
+        must differ from the static-camera rays."""
+        import jax
+        import jax.numpy as jnp
+
+        from instant_ngp_tpu.nerf.task import NerfTask
+
+        ds = g._synthetic_dataset(n_images=2, w=16, h=16)
+        # camera translates between shutter open and close
+        ds.xforms_end = ds.xforms_start.copy()
+        ds.xforms_end[:, 0, 3] += 0.2
+        ds.rolling_shutter = np.tile(
+            np.array([0.0, 0.0, 1.0, 0.0], np.float32), (2, 1)
+        )  # scanline time = v
+        task = NerfTask(ds, g._tiny_nerf_config(), n_rays_per_batch=64,
+                        max_samples_per_ray=4, n_march_iters=8,
+                        use_error_map=False)
+        assert task.has_motion
+        img_idx = jnp.zeros(2, jnp.int32)
+        uv = jnp.asarray([[0.5, 0.0], [0.5, 1.0]])  # top vs bottom scanline
+        o, d = task._generate_rays(task.data, img_idx, uv, None)
+        o = np.asarray(o)
+        assert abs(o[0, 0] - 0.5) < 1e-5          # top: start xform
+        assert abs(o[1, 0] - 0.7) < 1e-5          # bottom: end xform
+        loss = task.train(3)
+        assert np.isfinite(loss)
+
+
 class TestSharpness:
     def test_sharpness_maps_blurry_vs_sharp(self):
         """Variance-of-Laplacian must rank a noisy image above a flat one."""
