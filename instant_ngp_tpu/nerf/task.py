@@ -914,7 +914,7 @@ class NerfTask:
     # rendering
     # ------------------------------------------------------------------
     def _render_round(self, params, grid_bits, o, d, t, T, rgb, depth, alive, tmax,
-                      eps_t=EPS_T):
+                      cost=None, eps_t=EPS_T):
         """One render round: march a K-sample window and composite.
 
         The round loop runs on the host with an alive-count readback
@@ -961,7 +961,10 @@ class NerfTask:
         # (outside the aabb or beyond MAX_DEPTH).
         progressed = t_exit > t
         alive = alive & (T_new >= eps_t) & (t_exit < tmax) & progressed
-        return t_exit, T_new, rgb, depth, alive
+        if cost is None:
+            cost = jnp.zeros((R,))
+        cost = cost + jnp.sum(valid, axis=-1).astype(jnp.float32)
+        return t_exit, T_new, rgb, depth, alive, cost
 
     def _render_rays(self, params, grid_bits, o, d, key=None, max_rounds: int = 24):
         """Render rays to (rgb, alpha, depth): host loop over jitted
@@ -977,6 +980,7 @@ class NerfTask:
         rgb_out = np.zeros((R, 3), np.float32)
         T_out = np.ones((R,), np.float32)
         depth_out = np.zeros((R,), np.float32)
+        cost_out = np.zeros((R,), np.float32)
 
         idx = np.arange(R)
         o_c, d_c = o, d
@@ -984,6 +988,7 @@ class NerfTask:
         T_c = jnp.ones((R,))
         rgb_c = jnp.zeros((R, 3))
         depth_c = jnp.zeros((R,))
+        cost_c = jnp.zeros((R,))
         alive_c = tmax > tmin
 
         valid = np.ones(R, bool)  # which bucket rows map to real rays
@@ -994,6 +999,7 @@ class NerfTask:
                 rgb_out[idx[rows]] = np.asarray(rgb_c)[rows]
                 T_out[idx[rows]] = np.asarray(T_c)[rows]
                 depth_out[idx[rows]] = np.asarray(depth_c)[rows]
+                cost_out[idx[rows]] = np.asarray(cost_c)[rows]
 
         for _ in range(max_rounds):
             alive_np = np.asarray(alive_c) & valid
@@ -1013,14 +1019,16 @@ class NerfTask:
                 o_c, d_c = gather(o_c), gather(d_c)
                 t_c, tmax_c = gather(t_c), gather(tmax_c)
                 T_c, rgb_c, depth_c = gather(T_c), gather(rgb_c), gather(depth_c)
+                cost_c = gather(cost_c)
                 alive_c = jnp.asarray(valid)
-            t_c, T_c, rgb_c, depth_c, alive_c = self._jit_render_round(
+            t_c, T_c, rgb_c, depth_c, alive_c, cost_c = self._jit_render_round(
                 params, grid_bits, o_c, d_c, t_c, T_c, rgb_c, depth_c, alive_c, tmax_c,
-                jnp.float32(self.min_transmittance),
+                cost_c, jnp.float32(self.min_transmittance),
             )
 
         writeback(np.ones(len(idx), bool))
-        return jnp.asarray(rgb_out), 1.0 - jnp.asarray(T_out), jnp.asarray(depth_out)
+        return (jnp.asarray(rgb_out), 1.0 - jnp.asarray(T_out),
+                jnp.asarray(depth_out), jnp.asarray(cost_out))
 
     def _render_rays_nokey(self, params, grid_bits, o, d, n_rounds: int = 4):
         """Fixed-round render (traceable: no host sync) for shard_map /
@@ -1032,10 +1040,11 @@ class NerfTask:
         t, T = tmin, jnp.ones((R,))
         rgb, depth = jnp.zeros((R, 3)), jnp.zeros((R,))
         alive = tmax > tmin
+        cost = jnp.zeros((R,))
         for _ in range(n_rounds):
-            t, T, rgb, depth, alive = self._render_round(
+            t, T, rgb, depth, alive, cost = self._render_round(
                 params, grid_bits, o, d, t, T, rgb, depth, alive, tmax,
-                jnp.float32(self.min_transmittance),
+                cost, jnp.float32(self.min_transmittance),
             )
         return rgb, 1.0 - T, depth
 
@@ -1120,7 +1129,7 @@ class NerfTask:
                 d = dir_cam @ xform[:, :3].T
                 d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
                 o = jnp.broadcast_to(xform[:, 3], d.shape)
-                rgb, alpha, depth = self._render_rays(params, grid_bits, o, d)
+                rgb, alpha, depth, cost = self._render_rays(params, grid_bits, o, d)
                 if render_mode in ("positions", "normals"):
                     hit = np.asarray(o) + np.asarray(depth)[:, None] * np.asarray(d)
                     if render_mode == "positions":
@@ -1132,6 +1141,20 @@ class NerfTask:
                     rgb = jnp.broadcast_to(depth[:, None], (depth.shape[0], 3))
                 elif render_mode == "ao":
                     rgb = jnp.broadcast_to(alpha[:, None], (alpha.shape[0], 3))
+                elif render_mode == "cost":
+                    # samples-per-ray heat (reference ERenderMode::Cost
+                    # colors x/256 of white, testbed.cu render modes)
+                    heat = jnp.clip(cost / 256.0, 0.0, 1.0)
+                    rgb = jnp.stack([heat, 1.0 - heat, jnp.zeros_like(heat)], -1)
+                elif render_mode == "encodingvis":
+                    # encoding features at the expected hit point
+                    # (reference ERenderMode::EncodingVis)
+                    hit = np.asarray(o) + np.asarray(depth)[:, None] * np.asarray(d)
+                    pw = (jnp.asarray(hit) - jnp.asarray(self.aabb_min)) / (
+                        jnp.asarray(self.aabb_max) - jnp.asarray(self.aabb_min))
+                    feats = self.model.pos_encoding(
+                        params.get("pos_enc"), jnp.clip(pw, 0.0, 1.0))
+                    rgb = jnp.clip(jnp.abs(feats[:, :3]) * 10.0, 0.0, 1.0)
                 rgbs.append(np.asarray(rgb))
                 alphas.append(np.asarray(alpha))
                 depths.append(np.asarray(depth))

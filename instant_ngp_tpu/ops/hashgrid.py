@@ -361,8 +361,10 @@ class GridEncoding:
     # Hashed-level gradient corners: 2^D (exact) or 1 (stochastic
     # single-corner, unbiased, 1/2^D the scatter cost — see the design
     # note in _hge_bwd). Dense levels always use all corners (their
-    # splat backward is matmul-cheap).
-    hashed_grad_corners: int = 8
+    # splat backward is matmul-cheap). Default 1: measured on fox/v5e,
+    # 125 vs 335 ms/step for a −0.8 dB-per-step deficit — ahead on
+    # time-to-PSNR at every budget (scripts/ab_corners.py).
+    hashed_grad_corners: int = 1
 
     @property
     def levels(self) -> tuple[GridLevelSpec, ...]:

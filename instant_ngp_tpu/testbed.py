@@ -219,6 +219,135 @@ class Testbed:
         self.render_ms.update((time.perf_counter() - t0) * 1000.0)
         return frame
 
+    # ------------------------------------------------------------------
+    # pyngp binding-surface conveniences (python_api.cu:430-970)
+    # ------------------------------------------------------------------
+    def n_params(self) -> int:
+        import jax
+
+        params = (self.task.state.params if hasattr(self.task, "state")
+                  else self.task.params)
+        return int(sum(np.prod(np.shape(l)) for l in jax.tree.leaves(params)))
+
+    def n_encoding_params(self) -> int:
+        import jax
+
+        params = (self.task.state.params if hasattr(self.task, "state")
+                  else self.task.params)
+        enc = params.get("pos_enc") or params.get("enc")
+        if enc is None:
+            return 0
+        return int(sum(np.prod(np.shape(l)) for l in jax.tree.leaves(enc)))
+
+    def clear_training_data(self):
+        self.task = None
+        self.scene_path = None
+
+    def reset(self):
+        """Re-initialize the network (reference Testbed::reset)."""
+        if getattr(self, "scene_path", None):
+            self._build_task()
+        self.training_step = 0
+
+    def reset_camera(self):
+        self.camera_matrix = np.concatenate(
+            [np.eye(3, dtype=np.float32),
+             np.array([[0.5], [0.5], [-1.5]], np.float32)], axis=1)
+        self.fov = 50.625
+
+    def first_training_view(self):
+        self.set_camera_to_training_view(0)
+
+    def last_training_view(self):
+        self.set_camera_to_training_view(self.nerf_dataset.n_images - 1)
+
+    def previous_training_view(self):
+        i = getattr(self, "_view_index", 0)
+        self.set_camera_to_training_view(max(i - 1, 0))
+
+    def next_training_view(self):
+        i = getattr(self, "_view_index", -1)
+        self.set_camera_to_training_view(
+            min(i + 1, self.nerf_dataset.n_images - 1))
+
+    def set_nerf_camera_matrix(self, m: np.ndarray):
+        """Set the view camera from a NeRF-convention matrix
+        (python_api.cu set_nerf_camera_matrix)."""
+        self.camera_matrix = self.nerf_dataset.nerf_matrix_to_ngp(np.asarray(m))
+
+    def look_at(self, target):
+        t = np.asarray(target, np.float32)
+        eye = self.camera_matrix[:, 3]
+        fwd = t - eye
+        n = np.linalg.norm(fwd)
+        if n < 1e-9:
+            return
+        fwd = fwd / n
+        up = np.array([0.0, 1.0, 0.0], np.float32)
+        right = np.cross(fwd, up)
+        right /= max(np.linalg.norm(right), 1e-9)
+        up = np.cross(right, fwd)
+        self.camera_matrix = np.stack([right, -up, fwd, eye], axis=1)
+
+    def view_dir(self) -> np.ndarray:
+        return self.camera_matrix[:, 2].copy()
+
+    @property
+    def max_level_rand_training(self) -> bool:
+        return bool(getattr(self.task, "max_level_rand_training", False))
+
+    @max_level_rand_training.setter
+    def max_level_rand_training(self, v: bool):
+        self.task.max_level_rand_training = bool(v)
+
+    @property
+    def rendering_min_transmittance(self) -> float:
+        return self.nerf_min_transmittance
+
+    @rendering_min_transmittance.setter
+    def rendering_min_transmittance(self, v: float):
+        self.nerf_min_transmittance = float(v)
+
+    def render_ground_truth(self, width: int, height: int, view_idx: int) -> np.ndarray:
+        """The training image of a view, resampled to (H, W, 4) in the
+        model's color space (reference GT render mode,
+        testbed.cu:5074-5143)."""
+        from .common import linear_to_srgb, srgb_to_linear
+
+        ds = self.nerf_dataset
+        img = ds.images[view_idx].astype(np.float32)
+        if not ds.is_hdr:
+            img = img / 255.0
+            lin = np.asarray(srgb_to_linear(img[..., :3])) * img[..., 3:4]
+            rgb = np.asarray(linear_to_srgb(lin))
+        else:
+            rgb = img[..., :3]
+        frame = np.concatenate([rgb, img[..., 3:4]], -1)
+        h, w = frame.shape[:2]
+        ys = np.clip((np.arange(height) + 0.5) * h / height, 0, h - 1).astype(int)
+        xs = np.clip((np.arange(width) + 0.5) * w / width, 0, w - 1).astype(int)
+        return frame[ys][:, xs]
+
+    def render_error_overlay(self, width: int, height: int, view_idx: int,
+                             scale: float = 4.0) -> np.ndarray:
+        """|render − ground truth| heat overlay for a training view
+        (the reference's error overlay debugging mode)."""
+        ds = self.nerf_dataset
+        gt = self.render_ground_truth(width, height, view_idx)
+        frame = self.task.render(
+            width, height, ds.xforms_start[view_idx],
+            focal_length=tuple(ds.focal_lengths[view_idx]
+                               * np.array([width, height]) / ds.resolution),
+            principal_point=tuple(ds.principal_points[view_idx]),
+            background=(0, 0, 0, 0),
+        )
+        err = np.abs(frame[..., :3] - gt[..., :3]).mean(-1, keepdims=True)
+        heat = np.clip(err * scale, 0.0, 1.0)
+        out = np.concatenate(
+            [heat, np.zeros_like(heat), 1.0 - heat, np.ones_like(heat)], -1
+        )
+        return out.astype(np.float32)
+
     def set_camera_to_training_view(self, i: int):
         ds = self.nerf_dataset
         self.camera_matrix = ds.xforms_start[i].copy()

@@ -146,7 +146,8 @@ class TestGridEncoding:
 
         base = GridEncoding(n_dims=3, n_levels=6, n_features_per_level=2,
                             log2_hashmap_size=8, base_resolution=4,
-                            per_level_scale=2.0, interpolation="smoothstep")
+                            per_level_scale=2.0, interpolation="smoothstep",
+                            hashed_grad_corners=8)  # exact for parity
         params = base.init(jax.random.PRNGKey(0))
         # give tables real magnitude so dx is nontrivial
         params = jax.tree.map(lambda t: t * 1e3, params)

@@ -219,10 +219,20 @@ class TestRenderPath:
         d = np.concatenate([0.2 * rng.standard_normal((R, 2)), np.ones((R, 1))], -1)
         d = jnp.asarray((d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32))
 
-        rgb1, a1, dep1 = task._render_rays(params, bits, o, d, max_rounds=8)
+        rgb1, a1, dep1, cost1 = task._render_rays(params, bits, o, d, max_rounds=8)
         rgb2, a2, dep2 = task._render_rays_nokey(params, bits, o, d, n_rounds=8)
         np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb2), atol=1e-4)
         np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-4)
+        assert np.asarray(cost1).max() > 0  # samples were taken
+
+    def test_cost_and_encodingvis_modes(self):
+        task = make_task(use_error_map=False)
+        task.train(2)
+        cam = np.hstack([np.eye(3), [[0.5], [0.5], [-0.7]]]).astype(np.float32)
+        for mode in ("cost", "encodingvis"):
+            frame = task.render(8, 8, cam, fov=60.0, render_mode=mode)
+            assert frame.shape == (8, 8, 4)
+            assert np.isfinite(frame).all(), mode
 
     def test_full_render_frame(self):
         task = make_task(use_error_map=False)
