@@ -137,6 +137,81 @@ def marching_tetrahedra(values: np.ndarray, iso: float = 0.0):
     return np.asarray(verts, np.float32), np.concatenate(faces).astype(np.int32)
 
 
+def compute_mesh_1ring(verts: np.ndarray, faces: np.ndarray):
+    """Per-vertex 1-ring centroid (homogeneous accumulate) + area
+    normals — the reference's compute_mesh_1ring (marching_cubes.cu)."""
+    acc = np.zeros((len(verts), 4), np.float64)
+    nrm = np.zeros((len(verts), 3), np.float64)
+    tri = verts[faces]  # (F, 3, 3)
+    fn = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    for k in range(3):
+        np.add.at(acc, faces[:, k],
+                  np.concatenate([tri[:, (k + 1) % 3], np.ones((len(faces), 1))], -1))
+        np.add.at(nrm, faces[:, k], fn)
+    return acc, nrm
+
+
+def optimise_mesh(
+    task,
+    verts: np.ndarray,
+    faces: np.ndarray,
+    n_steps: int = 25,
+    thresh: float = 2.5,
+    smooth_amount: float = 2048.0,
+    density_amount: float = 128.0,
+    inflate_amount: float = 1.0,
+    lr: float = 1e-4,
+):
+    """Vertex-position optimization of an extracted NeRF mesh
+    (reference Testbed::optimise_mesh_step, testbed_nerf.cu:3400-3456
+    + compute_mesh_opt_gradients, marching_cubes.cu:708-740; defaults
+    from MeshState, testbed.h:591-597).
+
+    Per step and vertex: gradient = n̂(∇σ)·sign(σ−thresh)·k_density +
+    (v − 1-ring centroid)·k_smooth − n̂_vert·k_inflate, stepped with
+    Adam. Returns the optimized vertices.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    params = task.opt.inference_params(task.state.opt_state, task.state.params)
+
+    @jax.jit
+    def density_and_grad(pts):
+        def dens_sum(p):
+            out = task.model.density(params, p)[:, 0].astype(jnp.float32)
+            return jnp.sum(jnp.exp(jnp.clip(out, -15.0, 15.0))), out
+
+        (_, logits), g = jax.value_and_grad(dens_sum, has_aux=True)(pts)
+        return jnp.exp(jnp.clip(logits, -15.0, 15.0)), g
+
+    v = np.asarray(verts, np.float32).copy()
+    m = np.zeros_like(v)
+    s2 = np.zeros_like(v)
+    b1, b2, eps = 0.9, 0.99, 1e-8
+    for step in range(1, n_steps + 1):
+        dens, grad = density_and_grad(jnp.asarray(v))
+        dens, grad = np.asarray(dens), np.asarray(grad)
+        n_in = grad / np.maximum(
+            np.linalg.norm(grad, axis=-1, keepdims=True), 1e-9)
+        acc, nrm = compute_mesh_1ring(v, faces)
+        w = np.maximum(acc[:, 3:4], 1.0)
+        target = acc[:, :3] / w
+        smoothing_grad = v - target
+        nrm_u = nrm / np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9)
+        g = (
+            n_in * np.sign(dens - thresh)[:, None] * density_amount
+            + smoothing_grad * smooth_amount
+            - nrm_u * inflate_amount
+        ).astype(np.float32)
+        m = b1 * m + (1 - b1) * g
+        s2 = b2 * s2 + (1 - b2) * g * g
+        mh = m / (1 - b1**step)
+        vh = s2 / (1 - b2**step)
+        v -= lr * mh / (np.sqrt(vh) + eps)
+    return v
+
+
 def extract_mesh(task, res: int = 256, iso: float | None = None, with_colors: bool = True):
     """Field → mesh. For NerfTask, iso defaults to the reference's
     density threshold 2.5 (testbed.h mesh defaults); for SdfTask, 0."""

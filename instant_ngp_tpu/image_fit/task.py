@@ -84,6 +84,36 @@ def halton(index, base: int):
     return result
 
 
+def sobol2d(index):
+    """First two dimensions of the Sobol sequence (reference ERandomMode
+    Sobol; ld_random_val sampler). Dim 0 is the bit-reversed van der
+    Corput sequence; dim 1 uses the classic x²+x+1 direction numbers."""
+    index = jnp.asarray(index, jnp.uint32)
+    # dim 0: reverse 32 bits
+    v = index
+    v = ((v >> 1) & jnp.uint32(0x55555555)) | ((v & jnp.uint32(0x55555555)) << 1)
+    v = ((v >> 2) & jnp.uint32(0x33333333)) | ((v & jnp.uint32(0x33333333)) << 2)
+    v = ((v >> 4) & jnp.uint32(0x0F0F0F0F)) | ((v & jnp.uint32(0x0F0F0F0F)) << 4)
+    v = ((v >> 8) & jnp.uint32(0x00FF00FF)) | ((v & jnp.uint32(0x00FF00FF)) << 8)
+    x0 = ((v >> 16) | (v << 16)).astype(jnp.float32) * np.float32(2.0**-32)
+    # dim 1: direction numbers v_k = m_k << (31-k) with the classic
+    # dimension-2 recurrence m_k = m_{k-1} ⊕ 2·m_{k-1}
+    # (1, 3, 5, 15, 17, 51, 85, 255, …)
+    m1 = [1]
+    for k in range(1, 32):
+        m1.append(m1[k - 1] ^ (2 * m1[k - 1]))
+    dirs = np.array([np.uint32((m1[k] << (31 - k)) & 0xFFFFFFFF) for k in range(32)],
+                    np.uint32)
+    # natural (non-Gray) digit order to pair with the natural-order
+    # van der Corput dim 0 — mixing orders breaks joint stratification
+    acc = jnp.zeros(index.shape, jnp.uint32)
+    for k in range(32):
+        bit = (index >> k) & 1
+        acc = acc ^ (bit * dirs[k]).astype(jnp.uint32)
+    x1 = acc.astype(jnp.float32) * np.float32(2.0**-32)
+    return x0, x1
+
+
 class ImageTask:
     """Owns model params/optimizer state and jitted step/render fns."""
 
@@ -140,6 +170,10 @@ class ImageTask:
         if self.random_mode == "halton":
             idx = jnp.arange(n, dtype=jnp.uint32) + jnp.uint32(n) * step.astype(jnp.uint32)
             return jnp.stack([halton(idx, 2), halton(idx, 3)], axis=-1)
+        if self.random_mode == "sobol":
+            idx = jnp.arange(n, dtype=jnp.uint32) + jnp.uint32(n) * step.astype(jnp.uint32)
+            x0, x1 = sobol2d(idx)
+            return jnp.stack([x0, x1], axis=-1)
         uv = jax.random.uniform(key, (n, 2))
         if self.random_mode == "stratified" and (n & (n - 1)) == 0 and (n.bit_length() - 1) % 2 == 0:
             log2s = (n.bit_length() - 1) // 2

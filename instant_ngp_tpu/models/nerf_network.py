@@ -68,12 +68,26 @@ class NerfNetwork:
             mask["dir_enc"] = jax.tree.map(lambda _: False, params["dir_enc"])
         return mask
 
-    def density(self, params: dict, pos: jax.Array, max_level=None, compute_dtype=jnp.bfloat16):
+    def build_bricks(self, params: dict):
+        """Bricked inference tables for the position encoding (dense
+        levels; see GridEncoding.build_bricks). None when the encoding
+        has no brick support."""
+        if hasattr(self.pos_encoding, "build_bricks"):
+            return self.pos_encoding.build_bricks(params.get("pos_enc"))
+        return None
+
+    def density(self, params: dict, pos: jax.Array, max_level=None,
+                compute_dtype=jnp.bfloat16, bricks=None):
         """Density-only path: pos (N,3) → (N, 16) density-MLP output.
         Channel 0 is the density logit (reference nerf_network.h:270-280)."""
-        feats = self.pos_encoding(
-            params.get("pos_enc"), pos, max_level=max_level, compute_dtype=compute_dtype
-        )
+        if bricks is not None and hasattr(self.pos_encoding, "encode_infer"):
+            feats = self.pos_encoding.encode_infer(
+                params.get("pos_enc"), pos, bricks=bricks,
+                max_level=max_level, compute_dtype=compute_dtype)
+        else:
+            feats = self.pos_encoding(
+                params.get("pos_enc"), pos, max_level=max_level,
+                compute_dtype=compute_dtype)
         return self.density_network(params["density_net"], feats, compute_dtype=compute_dtype)
 
     def __call__(
@@ -84,11 +98,13 @@ class NerfNetwork:
         extra: Optional[jax.Array] = None,
         max_level=None,
         compute_dtype=jnp.bfloat16,
+        bricks=None,
     ) -> jax.Array:
         """Full forward. Args: pos (N,3) in [0,1]; dir_warped (N,3) in
         [0,1] (warp_direction applied by the caller); extra (N,E) latent
         dims. Returns (N, 4): rgb logits + density logit."""
-        d_out = self.density(params, pos, max_level=max_level, compute_dtype=compute_dtype)
+        d_out = self.density(params, pos, max_level=max_level,
+                             compute_dtype=compute_dtype, bricks=bricks)
         dir_feats = self.dir_encoding(
             params.get("dir_enc"), dir_warped, compute_dtype=compute_dtype
         )

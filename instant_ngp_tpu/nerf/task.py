@@ -309,10 +309,26 @@ class NerfTask:
                 dataset.compute_sharpness_maps(), jnp.float32
             )  # (N, 72, 128)
 
+        # failure detection & numerics guards (SURVEY §5: the
+        # checkify analog — cheap host-side, on the already-fetched
+        # loss scalar; reference aborts training on zero samples)
+        self.training_aborted = False
+        self.debug_check_numerics = False
         # render early-stop transmittance (reference
         # m_nerf.m_minimum_transmittance / run.py eval 1e-4); traced as
         # a runtime scalar so changing it does not recompile
         self.min_transmittance = EPS_T
+        # render-space controls (reference render_aabb crop box
+        # testbed.h:708, near distance, DoF aperture/focus
+        # init_rays_with_payload_kernel_nerf testbed_nerf.cu:1414-1528)
+        self.render_aabb_min = np.array(self.aabb_min)
+        self.render_aabb_max = np.array(self.aabb_max)
+        if dataset.render_aabb is not None:
+            self.render_aabb_min = np.asarray(dataset.render_aabb[0], np.float32)
+            self.render_aabb_max = np.asarray(dataset.render_aabb[1], np.float32)
+        self.render_near_distance = 0.0
+        self.aperture_size = 0.0
+        self.focus_z = 1.0
         self.training_step = 0
         self._key = jax.random.PRNGKey(seed ^ 0xBEEF)
         self._loss_ema = None
@@ -875,6 +891,20 @@ class NerfTask:
                 # each batch shape compiles once
                 if stats is not None:
                     K = self.march_cfg.max_samples_per_ray
+                    # failure detection (reference update_after_training
+                    # "generated 0 samples. Aborting training.",
+                    # testbed_nerf.cu:2784-2789); checked on the 16-step
+                    # cadence where the sync happens anyway
+                    if int(stats["measured_samples"]) == 0:
+                        import warnings
+
+                        warnings.warn(
+                            "NeRF training generated 0 samples; aborting "
+                            "training (empty occupancy grid or cameras "
+                            "see no scene)"
+                        )
+                        self.training_aborted = True
+                        return float(stats["loss"])
                     measured = max(int(stats["measured_samples"]), 1)
                     fill = measured / (self._n_rays_current * K)
                     # rays so that VALID samples ≈ half the target batch
@@ -895,6 +925,12 @@ class NerfTask:
             )
             loss = stats["loss"]
             self.training_step += 1
+            if self.debug_check_numerics and not np.isfinite(float(loss)):
+                raise FloatingPointError(
+                    f"non-finite loss {float(loss)} at step "
+                    f"{self.training_step} (grid mean_density="
+                    f"{float(self.state.grid.mean_density):.4g})"
+                )
             # error-map CDF rebuild on a ×1.5-growing interval
             # (reference testbed_nerf.cu:2791-2859)
             if self.use_error_map:
@@ -913,8 +949,21 @@ class NerfTask:
     # ------------------------------------------------------------------
     # rendering
     # ------------------------------------------------------------------
+    def _get_bricks(self, params):
+        """Bricked dense-level tables for inference, cached per params
+        identity (rebuilt after training steps change the tables)."""
+        key = id(params.get("pos_enc"))
+        cached = getattr(self, "_brick_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        if not hasattr(self, "_jit_build_bricks"):
+            self._jit_build_bricks = jax.jit(self.model.build_bricks)
+        bricks = self._jit_build_bricks(params)
+        self._brick_cache = (key, bricks)
+        return bricks
+
     def _render_round(self, params, grid_bits, o, d, t, T, rgb, depth, alive, tmax,
-                      cost=None, eps_t=EPS_T):
+                      cost=None, eps_t=EPS_T, bricks=None):
         """One render round: march a K-sample window and composite.
 
         The round loop runs on the host with an alive-count readback
@@ -938,7 +987,8 @@ class NerfTask:
         dirs = jnp.broadcast_to(warp_direction(d)[:, None, :], pos.shape)
         K = cfg.max_samples_per_ray
         out = self.model(
-            params, pos_w.reshape(R * K, 3), dirs.reshape(R * K, 3)
+            params, pos_w.reshape(R * K, 3), dirs.reshape(R * K, 3),
+            bricks=bricks,
         ).reshape(R, K, 4)
         rgb_s = network_to_rgb(out[..., :3].astype(jnp.float32), self.rgb_activation)
         sigma = network_to_density(
@@ -966,16 +1016,19 @@ class NerfTask:
         cost = cost + jnp.sum(valid, axis=-1).astype(jnp.float32)
         return t_exit, T_new, rgb, depth, alive, cost
 
-    def _render_rays(self, params, grid_bits, o, d, key=None, max_rounds: int = 24):
+    def _render_rays(self, params, grid_bits, o, d, key=None, max_rounds: int = 24,
+                     bricks=None):
         """Render rays to (rgb, alpha, depth): host loop over jitted
         march+composite rounds with alive-ray compaction between rounds
         (the reference's compact_kernel_nerf, recast as host-side
         gather/scatter into power-of-two buckets so each bucket size
         compiles once)."""
         R = o.shape[0]
-        aabb_min = jnp.asarray(self.aabb_min)
-        aabb_max = jnp.asarray(self.aabb_max)
+        # rays are clipped to the render crop box + near plane
+        aabb_min = jnp.asarray(np.maximum(self.render_aabb_min, self.aabb_min))
+        aabb_max = jnp.asarray(np.minimum(self.render_aabb_max, self.aabb_max))
         tmin, tmax = _aabb_entry(o, d, aabb_min, aabb_max)
+        tmin = jnp.maximum(tmin, self.render_near_distance)
 
         rgb_out = np.zeros((R, 3), np.float32)
         T_out = np.ones((R,), np.float32)
@@ -1023,7 +1076,7 @@ class NerfTask:
                 alive_c = jnp.asarray(valid)
             t_c, T_c, rgb_c, depth_c, alive_c, cost_c = self._jit_render_round(
                 params, grid_bits, o_c, d_c, t_c, T_c, rgb_c, depth_c, alive_c, tmax_c,
-                cost_c, jnp.float32(self.min_transmittance),
+                cost_c, jnp.float32(self.min_transmittance), bricks,
             )
 
         writeback(np.ones(len(idx), bool))
@@ -1080,6 +1133,7 @@ class NerfTask:
 
         params = self.opt.inference_params(self.state.opt_state, self.state.params)
         grid_bits = self.state.grid.bitfield
+        bricks = self._get_bricks(params)
 
         chunk = 1 << 16
         n = xs.shape[0]
@@ -1126,10 +1180,30 @@ class NerfTask:
                     lens_mode=LensMode(self.dataset.lens_mode),
                     lens_params=jnp.asarray(self.dataset.lens_params),
                 )
-                d = dir_cam @ xform[:, :3].T
+                if self.aperture_size > 0.0:
+                    # thin-lens DoF: offset origin on the aperture disk,
+                    # re-aim at the focus plane (reference
+                    # init_rays...:1441-1452); per-spp Halton(5,7) disk
+                    ang = 2.0 * np.pi * halton(s + 1, 5)
+                    rad = self.aperture_size * np.sqrt(halton(s + 1, 7))
+                    lens = rad * (np.cos(ang) * np.asarray(xform[:, 0])
+                                  + np.sin(ang) * np.asarray(xform[:, 1]))
+                    focus_pt = dir_cam * self.focus_z  # camera space z=focus
+                    d_cam = focus_pt - jnp.asarray(
+                        [lens @ np.asarray(xform[:, 0]),
+                         lens @ np.asarray(xform[:, 1]), 0.0])
+                    d = d_cam @ xform[:, :3].T
+                    o = jnp.broadcast_to(xform[:, 3] + jnp.asarray(lens), d.shape)
+                else:
+                    d = dir_cam @ xform[:, :3].T
+                    o = jnp.broadcast_to(xform[:, 3], d.shape)
                 d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-                o = jnp.broadcast_to(xform[:, 3], d.shape)
-                rgb, alpha, depth, cost = self._render_rays(params, grid_bits, o, d)
+                rgb, alpha, depth, cost = self._render_rays(
+                    params, grid_bits, o, d, bricks=bricks)
+                if render_mode == "shade" and self.train_envmap and \
+                        "envmap" in self.state.cam:
+                    ev = _read_envmap(self.state.cam["envmap"], d)
+                    rgb = rgb + (1.0 - alpha)[:, None] * ev[:, :3]
                 if render_mode in ("positions", "normals"):
                     hit = np.asarray(o) + np.asarray(depth)[:, None] * np.asarray(d)
                     if render_mode == "positions":

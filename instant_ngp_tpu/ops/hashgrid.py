@@ -467,6 +467,91 @@ class GridEncoding:
             out = out * mask.astype(out.dtype)
         return out.astype(compute_dtype)
 
+    # ------------------------------------------------------------------
+    # bricked inference tables (rendering fast path)
+    # ------------------------------------------------------------------
+    def build_bricks(self, params: Sequence[jax.Array]):
+        """Per-DENSE-level brick tables for inference: row e holds the
+        2^D corner features of cell e, concatenated corner-major —
+        one (C·F)-float gather per sample-level instead of C separate
+        rows. Measured on v5e: a 16-float row gathers at ~1.4× the
+        cost of a 2-float row, so this is ~5× less gather time for
+        dense levels. Exact (cell→row is bijective for dense levels;
+        hashed levels cannot be bricked exactly — more cells than rows
+        — and return None).
+        """
+        if not isinstance(params, (tuple, list)):
+            params = self.unpack_params(params)
+        D = self.n_dims
+        C = 1 << D
+        out = []
+        for level, table in zip(self.levels, params):
+            if level.hashed or D not in (2, 3):
+                out.append(None)
+                continue
+            op = self._level_op(level)
+            R = level.resolution
+            e = jnp.arange(level.size, dtype=jnp.int32)
+            coords = []
+            rem = e
+            for d in range(D):
+                coords.append(rem % R)
+                rem = rem // R
+            grid = jnp.stack(coords, -1)  # (size, D) cell coords
+            rows = []
+            for c in range(C):
+                bits = [(c >> d) & 1 for d in range(D)]
+                rows.append(jnp.take(table, _corner_index(op, grid, bits), axis=0))
+            out.append(jnp.concatenate(rows, axis=-1))  # (size, C·F)
+        return tuple(out)
+
+    def encode_infer(self, params, x, bricks=None, max_level=None,
+                     compute_dtype=jnp.float32):
+        """Inference-only encode using bricked dense levels (no
+        gradients). Falls back to the training path when bricks is
+        None."""
+        if bricks is None:
+            return self(params, x, max_level=max_level,
+                        compute_dtype=compute_dtype)
+        if not isinstance(params, (tuple, list)):
+            params = self.unpack_params(params)
+        D = self.n_dims
+        C = 1 << D
+        L, F = self.n_levels, self.n_features_per_level
+        outs = []
+        for level, table, brick in zip(self.levels, params, bricks):
+            op = self._level_op(level)
+            grid, t, _ = _corner_setup(op, x)
+            if brick is None:
+                idx, w = _all_corners(op, grid, t)
+                N = idx.shape[1]
+                feats = jnp.take(table, idx.reshape(-1), axis=0).reshape(C, N, F)
+                outs.append(jnp.einsum("cn,cnf->nf", w.astype(feats.dtype), feats))
+            else:
+                R = level.resolution
+                cell = jnp.zeros_like(grid[:, 0], dtype=jnp.uint32)
+                stride = 1
+                for d in range(D):
+                    cell = cell + grid[:, d].astype(jnp.uint32) * np.uint32(stride)
+                    stride *= R
+                cell = (cell % np.uint32(level.size)).astype(jnp.int32)
+                rows = jnp.take(brick, cell, axis=0)  # (N, C·F)
+                w = jnp.stack(
+                    [_corner_weight(t, [(c >> d) & 1 for d in range(D)])
+                     for c in range(C)], -1)  # (N, C)
+                feats = rows.reshape(rows.shape[0], C, F)
+                outs.append(jnp.einsum("nc,ncf->nf", w.astype(feats.dtype), feats))
+        out = jnp.concatenate(outs, axis=-1)
+        if max_level is not None:
+            max_level = jnp.asarray(max_level)
+            lvl = jnp.repeat(jnp.arange(L, dtype=jnp.float32), F)
+            if max_level.ndim == 0:
+                mask = lvl[None, :] < max_level * L
+            else:
+                mask = lvl[None, :] < max_level[:, None] * L
+            out = out * mask.astype(out.dtype)
+        return out.astype(compute_dtype)
+
     # retained for tests / diagnostics
     def corner_indices_and_weights(self, x: jax.Array):
         """(N, L, C) GLOBAL indices (packed-table space) + interpolation

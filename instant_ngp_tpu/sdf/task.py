@@ -46,6 +46,17 @@ class SdfTask:
         else:
             tris = np.asarray(mesh_path_or_tris, np.float32)
         self.triangles, self.mesh_scale, self.mesh_offset = normalize_to_unit_cube(tris)
+        # shading controls (reference BRDFParams sdf_device.cuh:30-40,
+        # soft shadows via iq's rmshadows in the shadow sphere trace,
+        # optional floor plane testbed_sdf.cu:198-204)
+        from ..render.brdf import BRDFParams
+
+        self.brdf = BRDFParams()
+        self.shadow_sharpness = 16.0
+        self.render_shadows = True
+        self.floor_y = 0.0
+        self.floor_enable = False
+        self.sun_color = (1.0, 1.0, 1.0)
         self.bvh = TriangleBvh(self.triangles)
         self.sdf_mode = sdf_mode
         self.batch_size = batch_size
@@ -261,15 +272,17 @@ class SdfTask:
         ).reshape(height, width, 4)
         return frame
 
-    def _shade(self, pos, normal, view, light_dir):
+    def _shade(self, pos, normal, view, light_dir, shadow=1.0):
+        from ..render.brdf import evaluate_shading
+
         l = np.asarray(light_dir, np.float32)
         l = l / np.linalg.norm(l)
-        ndl = np.clip((normal * l).sum(-1, keepdims=True), 0, 1)
-        h = l - view
-        h /= np.maximum(np.linalg.norm(h, axis=-1, keepdims=True), 1e-9)
-        spec = np.clip((normal * h).sum(-1, keepdims=True), 0, 1) ** 32
-        base = np.array([0.8, 0.7, 0.6], np.float32)
-        return np.clip(base * (0.15 + 0.85 * ndl) + 0.25 * spec, 0, 1)
+        rgb = evaluate_shading(
+            self.brdf.basecolor, (0.25, 0.3, 0.35), np.asarray(self.sun_color),
+            self.brdf, l, -np.asarray(view), np.asarray(normal),
+        )
+        return np.clip(np.asarray(rgb) * np.asarray(shadow).reshape(-1, 1)
+                       if np.ndim(shadow) else np.asarray(rgb) * shadow, 0, 1)
 
     @property
     def _jit_render(self):
@@ -307,6 +320,17 @@ class SdfTask:
                 pos = o + t[:, None] * d
                 final = sdf_fn(params, pos)
                 hit = hit_box & (jnp.abs(final) < 2e-3) & (t <= tmax)
+                if self.floor_enable:
+                    # analytic floor plane y = floor_y (reference
+                    # advance_pos_kernel_sdf:198-204)
+                    t_floor = (self.floor_y - o[:, 1]) / jnp.where(
+                        jnp.abs(d[:, 1]) < 1e-9, 1e-9, d[:, 1])
+                    floor_hit = (~hit) & (t_floor > 0) & (d[:, 1] < 0)
+                    t = jnp.where(floor_hit, t_floor, t)
+                    pos = o + t[:, None] * d
+                    hit = hit | floor_hit
+                else:
+                    floor_hit = jnp.zeros_like(hit)
 
                 # autodiff normals (reference uses input_gradient or
                 # 6-tap finite differences; autodiff is exact here)
@@ -317,14 +341,60 @@ class SdfTask:
                 normal = normal / jnp.maximum(
                     jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9
                 )
+                if self.floor_enable:
+                    up = jnp.asarray([0.0, 1.0, 0.0])
+                    normal = jnp.where(floor_hit[:, None], up, normal)
                 l = light / jnp.linalg.norm(light)
-                ndl = jnp.clip(jnp.sum(normal * l, -1, keepdims=True), 0, 1)
-                h = l - d
-                h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-9)
-                spec = jnp.clip(jnp.sum(normal * h, -1, keepdims=True), 0, 1) ** 32
-                base = jnp.asarray([0.8, 0.7, 0.6])
-                rgb = jnp.clip(base * (0.15 + 0.85 * ndl) + 0.25 * spec, 0, 1)
-                rgb = jnp.where(hit[:, None], rgb, 0.0)
+
+                # soft shadows: sphere trace toward the light tracking
+                # iq's min-visibility k·d/t (reference
+                # advance_pos_kernel_sdf:207-215 + shadow ray pipeline)
+                if self.render_shadows:
+                    k = self.shadow_sharpness
+                    so = pos + normal * 2e-3
+
+                    def sh_body(carry):
+                        st, vis, prev, alive, it = carry
+                        sp = so + st[:, None] * l
+                        dist = sdf_fn(params, sp)
+                        y = dist * dist / (2.0 * jnp.maximum(prev, 1e-6))
+                        dd = jnp.sqrt(jnp.maximum(dist * dist - y * y, 0.0))
+                        vis_new = jnp.minimum(
+                            vis, k * dd / jnp.maximum(st - y, 1e-6))
+                        vis = jnp.where(alive, vis_new, vis)
+                        st_new = jnp.where(alive, st + dist, st)
+                        inb = jnp.all((sp >= 0.0) & (sp <= 1.0), axis=-1)
+                        done = (dist < 1e-4) | ~inb
+                        return (st_new, vis, jnp.where(alive, dist, prev),
+                                alive & ~done, it + 1)
+
+                    def sh_cond(carry):
+                        _, _, _, alive, it = carry
+                        return jnp.any(alive) & (it < 48)
+
+                    st0 = jnp.full(pos.shape[0], 2e-2)
+                    vis0 = jnp.ones(pos.shape[0])
+                    prev0 = jnp.full(pos.shape[0], 1e10)
+                    _, vis, _, sh_alive, _ = jax.lax.while_loop(
+                        sh_cond, sh_body, (st0, vis0, prev0, hit, jnp.int32(0)))
+                    # rays whose shadow trace hit the surface are occluded
+                    shadow = jnp.clip(vis, 0.0, 1.0)
+                else:
+                    shadow = jnp.ones(pos.shape[0])
+
+                from ..render.brdf import evaluate_shading
+
+                floorcol = jnp.asarray([0.6, 0.65, 0.7])
+                basecol = jnp.asarray(self.brdf.basecolor)
+                base = (jnp.where(floor_hit[:, None], floorcol, basecol)
+                        if self.floor_enable else
+                        jnp.broadcast_to(basecol, pos.shape))
+                rgb = evaluate_shading(
+                    base, jnp.asarray([0.25, 0.3, 0.35]),
+                    jnp.asarray(self.sun_color), self.brdf, l, -d, normal,
+                )
+                rgb = rgb * shadow[:, None]
+                rgb = jnp.where(hit[:, None], jnp.clip(rgb, 0.0, 1.0), 0.0)
                 return rgb, hit.astype(jnp.float32)
 
             self._jit_render_fn = jax.jit(render)

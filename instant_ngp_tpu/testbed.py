@@ -172,6 +172,9 @@ class Testbed:
             self.training_step = self.task.training_step
             self._loss_scalar.update(loss)
             self.loss_graph.append(loss)
+            if getattr(self.task, "training_aborted", False):
+                # reference sets m_train = false on zero-sample batches
+                self.shall_train = False
         self.frame_ms.update((time.perf_counter() - t0) * 1000.0)
         return True
 
@@ -299,6 +302,46 @@ class Testbed:
     @max_level_rand_training.setter
     def max_level_rand_training(self, v: bool):
         self.task.max_level_rand_training = bool(v)
+
+    @property
+    def aperture_size(self) -> float:
+        return float(getattr(self.task, "aperture_size", 0.0))
+
+    @aperture_size.setter
+    def aperture_size(self, v: float):
+        self.task.aperture_size = float(v)
+
+    @property
+    def autofocus_target(self):
+        return getattr(self.task, "focus_z", 1.0)
+
+    @autofocus_target.setter
+    def autofocus_target(self, v):
+        self.task.focus_z = float(v)
+
+    @property
+    def render_aabb(self):
+        return np.stack([self.task.render_aabb_min, self.task.render_aabb_max])
+
+    @render_aabb.setter
+    def render_aabb(self, v):
+        v = np.asarray(v, np.float32)
+        self.task.render_aabb_min = v[0]
+        self.task.render_aabb_max = v[1]
+
+    def set_crop_box(self, corners):
+        self.render_aabb = np.asarray(corners, np.float32)
+
+    def crop_box_corners(self):
+        return self.render_aabb
+
+    @property
+    def render_near_distance(self) -> float:
+        return float(getattr(self.task, "render_near_distance", 0.0))
+
+    @render_near_distance.setter
+    def render_near_distance(self, v: float):
+        self.task.render_near_distance = float(v)
 
     @property
     def rendering_min_transmittance(self) -> float:

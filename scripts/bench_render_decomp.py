@@ -74,9 +74,18 @@ def march_only(o, d):
     return ts.sum() + t_exit.sum()
 
 
+BRICKS = task._get_bricks(params)
+
+
 @jax.jit
 def model_only(pts, dirs):
     out = task.model(params, pts, dirs)
+    return out.sum()
+
+
+@jax.jit
+def model_bricked(pts, dirs):
+    out = task.model(params, pts, dirs, bricks=BRICKS)
     return out.sum()
 
 
@@ -100,5 +109,7 @@ N = R * 32
 pts = jax.random.uniform(jax.random.PRNGKey(0), (N, 3))
 dirs = jax.random.uniform(jax.random.PRNGKey(1), (N, 3))
 t_model = timeit("model fwd 2M samples", model_only, pts, dirs)
+t_brick = timeit("model fwd 2M samples (bricked)", model_bricked, pts, dirs)
 t_dens = timeit("density fwd 2M samples", density_only, pts)
-print(f"# model: {t_model/N*1e9:.2f} ns/sample", flush=True)
+print(f"# model: {t_model/N*1e9:.2f} ns/sample; bricked {t_brick/N*1e9:.2f}",
+      flush=True)

@@ -43,6 +43,18 @@ def parse_args():
     p.add_argument("--height", type=int, default=0)
     p.add_argument("--save_mesh", default="", help="marching-cubes mesh output path")
     p.add_argument("--marching_cubes_res", type=int, default=256)
+    p.add_argument("--optimize_mesh_steps", type=int, default=0,
+                   help="vertex-position optimization steps before export")
+    # camera-path video rendering (reference run.py --video_* flags;
+    # no ffmpeg in this environment, so frames are written as PNGs —
+    # the same sequence the reference pipes into ffmpeg)
+    p.add_argument("--video_camera_path", default="",
+                   help="camera path json (saved by CameraPath.save)")
+    p.add_argument("--video_n_seconds", type=float, default=1.0)
+    p.add_argument("--video_fps", type=int, default=30)
+    p.add_argument("--video_spp", type=int, default=2)
+    p.add_argument("--video_output", default="video_frames",
+                   help="output directory for the PNG frame sequence")
     p.add_argument("--near_distance", type=float, default=-1)
     p.add_argument("--exposure", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=1337)
@@ -107,6 +119,12 @@ def main():
         from instant_ngp_tpu.geometry.marching_cubes import extract_mesh
 
         verts, faces, colors = extract_mesh(testbed.task, res=args.marching_cubes_res)
+        if args.optimize_mesh_steps > 0 and len(verts):
+            from instant_ngp_tpu.geometry.marching_cubes import optimise_mesh
+
+            verts = optimise_mesh(
+                testbed.task, verts, faces, n_steps=args.optimize_mesh_steps
+            )
         from instant_ngp_tpu.geometry.mesh_io import save_obj, save_ply
 
         if args.save_mesh.endswith(".ply"):
@@ -154,6 +172,27 @@ def main():
                   f"flip={flips[-1]:.4f}", flush=True)
         print(f"PSNR={np.mean(psnrs):.2f} [min={np.min(psnrs):.2f} max={np.max(psnrs):.2f}] "
               f"SSIM={np.mean(ssims):.3f} FLIP={np.mean(flips):.4f}")
+
+    if args.video_camera_path:
+        from instant_ngp_tpu.io.image import save_image
+        from instant_ngp_tpu.render.camera_path import (
+            CameraPath,
+            render_video_frames,
+        )
+
+        path = CameraPath.load(args.video_camera_path)
+        n_frames = max(int(args.video_n_seconds * args.video_fps), 1)
+        w = args.width or 1920
+        h = args.height or 1080
+        os.makedirs(args.video_output, exist_ok=True)
+        frames = render_video_frames(
+            testbed.task, path, n_frames, w, h, spp=args.video_spp
+        )
+        for i, frame in enumerate(frames):
+            out = Path(args.video_output) / f"{i:05d}.png"
+            save_image(out, frame[..., :3])
+        print(f"wrote {len(frames)} video frames to {args.video_output}/ "
+              f"(encode with: ffmpeg -framerate {args.video_fps} -i %05d.png out.mp4)")
 
     if args.screenshot_transforms:
         os.makedirs(args.screenshot_dir or ".", exist_ok=True)

@@ -205,6 +205,22 @@ class TestGridEncoding:
             # Monte-Carlo noise with ~30·4096/16 draws per row
             assert np.abs(s - e).max() / scale < 0.15, np.abs(s - e).max() / scale
 
+    def test_bricked_inference_matches_training_path(self):
+        """encode_infer with dense-level bricks == the canonical path."""
+        enc = GridEncoding(n_dims=3, n_levels=6, n_features_per_level=2,
+                           log2_hashmap_size=12, base_resolution=4,
+                           per_level_scale=2.0)
+        assert any(not lv.hashed for lv in enc.levels)
+        assert any(lv.hashed for lv in enc.levels)
+        params = jax.tree.map(lambda t: t * 1e3, enc.init(jax.random.PRNGKey(0)))
+        bricks = enc.build_bricks(params)
+        assert sum(b is not None for b in bricks) == sum(
+            not lv.hashed for lv in enc.levels)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (257, 3))
+        ref = np.asarray(enc(params, x))
+        fast = np.asarray(enc.encode_infer(params, x, bricks=bricks))
+        np.testing.assert_allclose(fast, ref, rtol=1e-5, atol=1e-5)
+
     def test_max_level_masks_fine_levels(self):
         enc = GridEncoding(n_dims=2, n_levels=4, n_features_per_level=2,
                            log2_hashmap_size=12, base_resolution=4, per_level_scale=2.0)

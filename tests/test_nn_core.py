@@ -172,3 +172,31 @@ class TestModels:
         flat, _ = jax.tree.flatten(grads)
         assert all(np.isfinite(np.asarray(g)).all() for g in flat)
         assert any(np.abs(np.asarray(g)).max() > 0 for g in flat)
+
+
+class TestSobol:
+    def test_sobol_elementary_intervals(self):
+        """The first 256 Sobol points put exactly 16 in each cell of a
+        4x4 grid (the (0,2)-sequence elementary-interval property)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from instant_ngp_tpu.image_fit.task import sobol2d
+
+        x0, x1 = sobol2d(jnp.arange(256))
+        x0, x1 = np.asarray(x0), np.asarray(x1)
+        assert ((x0 >= 0) & (x0 < 1)).all() and ((x1 >= 0) & (x1 < 1)).all()
+        hist, _, _ = np.histogram2d(x0, x1, bins=4, range=[[0, 1], [0, 1]])
+        np.testing.assert_array_equal(hist, np.full((4, 4), 16))
+
+    def test_sobol_sampler_mode_runs(self):
+        import numpy as np
+
+        from instant_ngp_tpu.config import load_network_config
+        from instant_ngp_tpu.image_fit.task import ImageTask
+
+        img = np.random.default_rng(0).random((16, 16, 4)).astype(np.float32)
+        cfg = load_network_config("base.json", mode="image")
+        task = ImageTask(img, True, cfg, batch_size=1024, random_mode="sobol")
+        loss = task.train(2)
+        assert np.isfinite(loss)

@@ -85,3 +85,91 @@ class TestCameraPath:
         assert len(cp2.keyframes) == 1
         np.testing.assert_allclose(cp2.keyframes[0].T, [0.1, 0.2, 0.3], atol=1e-6)
         assert cp2.keyframes[0].fov == 45
+
+
+class TestDisneyBRDF:
+    def test_backfacing_gets_ambient_only(self):
+        import jax.numpy as jnp
+
+        from instant_ngp_tpu.render.brdf import BRDFParams, evaluate_shading
+
+        brdf = BRDFParams()
+        N = jnp.asarray([[0.0, 0.0, 1.0]])
+        L = jnp.asarray([0.0, 0.0, -1.0])  # light behind the surface
+        V = jnp.asarray([0.0, 0.0, 1.0])
+        out = evaluate_shading(brdf.basecolor, (0.2, 0.2, 0.2), (1.0, 1.0, 1.0),
+                               brdf, L, V, N)
+        amb = evaluate_shading(brdf.basecolor, (0.2, 0.2, 0.2), (0.0, 0.0, 0.0),
+                               brdf, L, V, N)
+        import numpy as np
+        np.testing.assert_allclose(np.asarray(out), np.asarray(amb), atol=1e-6)
+        assert np.asarray(out).max() < 0.25  # ambient-scale only
+
+    def test_frontal_brighter_than_grazing(self):
+        import numpy as np
+        import jax.numpy as jnp
+
+        from instant_ngp_tpu.render.brdf import BRDFParams, evaluate_shading
+
+        brdf = BRDFParams()
+        N = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+        V = jnp.asarray([0.0, 0.0, 1.0])
+        L_frontal = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+        g = np.array([0.995, 0.0, 0.0999])  # near-grazing
+        g = g / np.linalg.norm(g)
+        out_f = evaluate_shading(brdf.basecolor, (0, 0, 0), (1, 1, 1), brdf,
+                                 jnp.asarray([0.0, 0.0, 1.0]), V, N)
+        out_g = evaluate_shading(brdf.basecolor, (0, 0, 0), (1, 1, 1), brdf,
+                                 jnp.asarray(g), V, N)
+        assert float(out_f.mean()) > float(out_g.mean())
+        assert np.isfinite(np.asarray(out_f)).all()
+        assert np.isfinite(np.asarray(out_g)).all()
+
+
+class TestMeshOptimizer:
+    def test_vertices_move_toward_isosurface(self):
+        """optimise_mesh must reduce |density - thresh| at the vertices
+        (reference optimise_mesh_step on an analytic sphere field)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        import __graft_entry__ as g
+        from instant_ngp_tpu.geometry.marching_cubes import (
+            marching_tetrahedra,
+            optimise_mesh,
+        )
+        from instant_ngp_tpu.nerf.task import NerfTask
+
+        ds = g._synthetic_dataset()
+        task = NerfTask(ds, g._tiny_nerf_config(), n_rays_per_batch=64,
+                        max_samples_per_ray=4, n_march_iters=8,
+                        use_error_map=False)
+
+        class StubModel:
+            def density(self, params, p):
+                d2 = jnp.sum((p - 0.5) ** 2, -1, keepdims=True)
+                logit = (0.35**2 - d2) * 40.0
+                return jnp.concatenate([logit, jnp.zeros((p.shape[0], 15))], -1)
+
+        task.model = StubModel()
+        res = 20
+        xs = (np.arange(res) + 0.5) / res
+        gx, gy, gz = np.meshgrid(xs, xs, xs, indexing="ij")
+        pts = np.stack([gx, gy, gz], -1).reshape(-1, 3).astype(np.float32)
+        vals = np.exp(np.clip(
+            np.asarray(StubModel().density(None, jnp.asarray(pts))[:, 0]),
+            -15, 15))
+        field = 2.5 - vals.reshape(res, res, res)
+        verts, faces = marching_tetrahedra(field, 0.0)
+        verts = (verts + 0.5) / res
+        assert len(verts) > 100
+
+        def iso_err(v):
+            d2 = np.sum((v - 0.5) ** 2, -1)
+            dens = np.exp(np.clip((0.35**2 - d2) * 40.0, -15, 15))
+            return np.abs(dens - 2.5).mean()
+
+        v2 = optimise_mesh(task, verts, faces, n_steps=5, thresh=2.5)
+        assert np.isfinite(v2).all()
+        assert iso_err(v2) < 0.85 * iso_err(verts)
