@@ -910,7 +910,7 @@ class NerfTask:
                     # rays so that VALID samples ≈ half the target batch
                     sample_target = self.target_batch_size // 2
                     want = sample_target / max(fill * K, 1e-3)
-                    bucket = 1 << int(np.clip(np.round(np.log2(max(want, 1.0))), 10, 13))
+                    bucket = 1 << int(np.clip(np.round(np.log2(max(want, 1.0))), 12, 13))
                     self._n_rays_current = int(bucket)
             self._key, sub = jax.random.split(self._key)
             data = self.data
@@ -1061,9 +1061,13 @@ class NerfTask:
                 break
             # compact when under half-full: gather alive rays into the
             # next pow2 bucket (bounded set of compiled shapes)
-            if n_alive <= len(idx) // 2:
+            if n_alive <= len(idx) // 4:
                 writeback(~alive_np)
-                bucket = max(256, 1 << int(np.ceil(np.log2(max(n_alive, 1)))))
+                # quarter-steps (…, 1024, 4096, 16384, 65536): each
+                # bucket shape compiles once, and the serial remote
+                # compile service makes every extra shape cost minutes
+                b = int(np.ceil(np.log2(max(n_alive, 1))))
+                bucket = max(1024, 1 << (((b + 1) // 2) * 2))
                 sel = np.nonzero(alive_np)[0]
                 take = np.concatenate([sel, np.zeros(bucket - len(sel), np.int64)])
                 idx = idx[take]

@@ -311,13 +311,16 @@ def _gather_interp_fwd(params, idx, w):
 
 
 def _gather_interp_bwd(res, g):
-    from .scatter import scatter_add_merge
+    # flat scalar scatter: the fastest measured exact reduction on v5e
+    # (the sort-merge alternative measured ~1.5× slower end-to-end;
+    # see docs/ROUND2_NOTES.md primitive table)
+    from .scatter import scatter_add_xla
 
     (T, F), idx, w, feats = res
     C, N = idx.shape
     dw = jnp.einsum("nf,cnf->cn", g, feats.astype(g.dtype))
     vals = (w[:, :, None].astype(jnp.float32) * g[None, :, :].astype(jnp.float32))
-    dparams = scatter_add_merge(idx.reshape(C * N), vals.reshape(C * N, F), T)
+    dparams = scatter_add_xla(idx.reshape(C * N), vals.reshape(C * N, F), T)
     zero_idx = jnp.zeros(idx.shape, dtype=jax.dtypes.float0)
     return dparams, zero_idx, dw
 

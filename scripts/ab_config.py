@@ -40,7 +40,7 @@ def run(name, enc_overrides):
     cfg["encoding"] = {**cfg.get("encoding", {}), **enc_overrides}
     task = NerfTask(ds, cfg, n_rays_per_batch=1 << 12,
                     max_samples_per_ray=32, n_march_iters=192)
-    for bucket in (1024, 2048, 4096, 8192):
+    for bucket in (4096, 8192):
         task._n_rays_current = bucket
         task.train(1)
     task = NerfTask(ds, cfg, n_rays_per_batch=1 << 12,

@@ -46,7 +46,7 @@ def run(name, corners):
                               hashed_grad_corners=corners)
     task.model = dataclasses.replace(task.model, pos_encoding=enc)
     # warm all buckets
-    for bucket in (1024, 2048, 4096, 8192):
+    for bucket in (4096, 8192):
         task._n_rays_current = bucket
         task.train(1)
     task = NerfTask(ds, cfg, n_rays_per_batch=1 << 12,

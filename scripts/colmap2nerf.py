@@ -141,7 +141,8 @@ def main():
         qvec = np.array(list(map(float, els[1:5])))
         tvec = np.array(list(map(float, els[5:8])))
         name = "_".join(els[9:])
-        R = qvec2rotmat(-qvec * np.array([1, -1, -1, -1]) * -1)  # conj handled below
+        # reference uses qvec2rotmat(-qvec); q and -q encode the same
+        # rotation, so this is identical
         R = qvec2rotmat(qvec)
         t = tvec.reshape(3, 1)
         w2c = np.concatenate([np.concatenate([R, t], 1), [[0, 0, 0, 1]]], 0)

@@ -20,13 +20,21 @@ def main():
     args = p.parse_args()
     scene = Path(args.scene)
 
-    intr = np.loadtxt(scene / "intrinsics.txt")
-    if intr.ndim == 2:  # 4x4 matrix form
-        fl_x, fl_y = intr[0, 0], intr[1, 1]
-        cx, cy = intr[0, 2], intr[1, 2]
+    # intrinsics.txt comes in two layouts: a 4×4 matrix, or the ragged
+    # NSVF form "f cx cy 0 / 0 0 0 / 0 / 1 / H W" — parse by tokens
+    # (np.loadtxt rejects ragged rows)
+    lines = [l.split() for l in (scene / "intrinsics.txt").read_text().splitlines()
+             if l.strip()]
+    first = [float(v) for v in lines[0]]
+    if len(lines) >= 4 and len(lines[0]) == 4 and len(lines[1]) == 4 \
+            and len(lines[3]) == 4:
+        m = np.array([[float(v) for v in row[:4]] for row in lines[:4]])
+        fl_x, fl_y = m[0, 0], m[1, 1]
+        cx, cy = m[0, 2], m[1, 2]
     else:
-        fl_x = fl_y = float(intr.reshape(-1)[0])
-        cx = cy = None
+        fl_x = fl_y = first[0]
+        cx = first[1] if len(first) > 1 else None
+        cy = first[2] if len(first) > 2 else None
 
     poses = sorted((scene / "pose").glob("*.txt"))
     images = sorted((scene / "rgb").glob("*"))
