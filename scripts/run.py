@@ -34,6 +34,10 @@ def parse_args():
     p.add_argument("--save_snapshot", default="", help="save snapshot after training")
     p.add_argument("--n_steps", type=int, default=-1, help="training steps (default 35000)")
     p.add_argument("--batch_size", type=int, default=1 << 18)
+    p.add_argument("--nerf_compatibility", action="store_true",
+                   help="match original-NeRF params (sRGB blending, no "
+                        "cone stepping, fixed background) for synthetic-"
+                        "scene PSNR comparisons")
     p.add_argument("--test_transforms", default="", help="transforms.json for PSNR eval")
     p.add_argument("--screenshot_transforms", default="", help="render screenshots from transforms")
     p.add_argument("--screenshot_frames", nargs="*", help="which frames to screenshot")
@@ -81,6 +85,19 @@ def main():
         testbed.load_training_data(args.scene)
     if args.load_snapshot:
         testbed.load_snapshot(args.load_snapshot)
+
+    if args.nerf_compatibility and testbed.mode == ngp.TestbedMode.NERF:
+        # reference run.py:164-189: sRGB-space blending is our LDR
+        # default already; disable exponential cone stepping and the
+        # random background, force plain NeRF mode
+        print("NeRF compatibility mode enabled")
+        import dataclasses as _dc
+
+        task = testbed.task
+        task.cone_angle = 0.0
+        task.march_cfg = _dc.replace(task.march_cfg, cone_angle=0.0)
+        task.random_bg_color = False
+        task.train_mode = "nerf"
 
     n_steps = args.n_steps
     if n_steps < 0:
