@@ -70,7 +70,7 @@ def bench_fox():
 
     # warm up compiles outside the timed region
     print("# warmup: train step (all ray buckets)...", file=sys.stderr, flush=True)
-    for bucket in (4096, 8192):
+    for bucket in (2048, 4096, 8192):
         task._n_rays_current = bucket
         task.train(1)
     task._n_rays_current = task.n_rays_per_batch

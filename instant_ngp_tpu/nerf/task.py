@@ -915,7 +915,7 @@ class NerfTask:
                     # rays so that VALID samples ≈ half the target batch
                     sample_target = self.target_batch_size // 2
                     want = sample_target / max(fill * K, 1e-3)
-                    bucket = 1 << int(np.clip(np.round(np.log2(max(want, 1.0))), 12, 13))
+                    bucket = 1 << int(np.clip(np.round(np.log2(max(want, 1.0))), 11, 13))
                     self._n_rays_current = int(bucket)
             if (
                 self.exact_corners_after is not None
