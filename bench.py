@@ -68,9 +68,16 @@ def bench_fox():
             ses.append(np.mean((pred - gt) ** 2))
         return mse_to_psnr(float(np.mean(ses)))
 
-    # warm up compiles outside the timed region
+    # warm up compiles outside the timed region: all ray buckets, the
+    # error-map-CDF program variants (first rebuild at step 128), and
+    # the grid-update programs — every shape must hit the persistent
+    # compile cache before the timed run
     print("# warmup: train step (all ray buckets)...", file=sys.stderr, flush=True)
     for bucket in (2048, 4096, 8192):
+        task._n_rays_current = bucket
+        task.train(1)
+    task.train(140)  # crosses the first CDF rebuild → use_cdf variants
+    for bucket in (2048, 4096):
         task._n_rays_current = bucket
         task.train(1)
     task._n_rays_current = task.n_rays_per_batch
@@ -84,13 +91,17 @@ def bench_fox():
     task = NerfTask(ds, cfg, n_rays_per_batch=1 << 12, max_samples_per_ray=32,
                     n_march_iters=192)
 
-    t0 = time.time()
+    # the budget/headline counts TRAINING time only — the reference's
+    # "5 s fox" excludes its eval renders too; evals here cost tens of
+    # seconds each and would otherwise eat most of the budget
+    train_elapsed = 0.0
     seconds_to_target = None
     best_psnr = 0.0
     chunk = 128
-    while time.time() - t0 < BUDGET_S:
+    while train_elapsed < BUDGET_S:
+        t0 = time.time()
         task.train(chunk)
-        train_elapsed = time.time() - t0
+        train_elapsed += time.time() - t0
         p = eval_psnr()
         best_psnr = max(best_psnr, p)
         print(f"# step {task.training_step} t={train_elapsed:.1f}s psnr={p:.2f}",
