@@ -80,6 +80,12 @@ def bench_fox():
     for bucket in (2048, 4096):
         task._n_rays_current = bucket
         task.train(1)
+    # the corner anneal switches to exact gradients mid-run — compile
+    # those program variants now too
+    task.exact_corners_after = 0
+    for bucket in (2048, 4096, 8192):
+        task._n_rays_current = bucket
+        task.train(1)
     task._n_rays_current = task.n_rays_per_batch
     print("# warmup: eval render...", file=sys.stderr, flush=True)
     t_ev = time.time()

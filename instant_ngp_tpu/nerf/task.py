@@ -311,9 +311,11 @@ class NerfTask:
 
         # corner-sampling anneal: stochastic single-corner hashed
         # gradients early (2.7x faster steps), exact 8-corner after
-        # this step (recovers the last fraction of a dB); None = keep
-        # the encoding's static setting forever
-        self.exact_corners_after: int | None = None
+        # this step. Default 768: measured on fox, the stochastic
+        # estimator's noise floor caps PSNR ~24 dB and training
+        # DEGRADES past ~900 steps without the switch (bench logs in
+        # docs/ROUND2_NOTES.md); None = never switch
+        self.exact_corners_after: int | None = 768
         # failure detection & numerics guards (SURVEY §5: the
         # checkify analog — cheap host-side, on the already-fetched
         # loss scalar; reference aborts training on zero samples)
@@ -925,6 +927,16 @@ class NerfTask:
                 enc = dataclasses.replace(
                     self.model.pos_encoding, hashed_grad_corners=8)
                 self.model = dataclasses.replace(self.model, pos_encoding=enc)
+                # jit caches the compiled program keyed on ARGUMENTS;
+                # a model swap on self is invisible to the existing
+                # wrappers — rebuild them so the next call retraces
+                self._jit_train_step = jax.jit(
+                    self._train_step, static_argnames=("n_rays", "use_cdf", "mode")
+                )
+                self._jit_update_grid = jax.jit(
+                    self._update_grid, static_argnames=("full",)
+                )
+                self._jit_render_round = jax.jit(self._render_round)
                 self.exact_corners_after = None  # one switch, one retrace
             self._key, sub = jax.random.split(self._key)
             data = self.data
