@@ -311,11 +311,12 @@ class NerfTask:
 
         # corner-sampling anneal: stochastic single-corner hashed
         # gradients early (2.7x faster steps), exact 8-corner after
-        # this step. Default 768: measured on fox, the stochastic
-        # estimator's noise floor caps PSNR ~24 dB and training
-        # DEGRADES past ~900 steps without the switch (bench logs in
-        # docs/ROUND2_NOTES.md); None = never switch
-        self.exact_corners_after: int | None = 768
+        # this step. Measured on fox: the stochastic estimator's noise
+        # floor caps PSNR ~24 dB (and training DEGRADES past ~900
+        # steps); switching at 768 reached 26.44 dB @240 s vs 24.08
+        # without — and the stochastic phase gains little after ~512,
+        # so switch there. None = never switch.
+        self.exact_corners_after: int | None = 512
         # failure detection & numerics guards (SURVEY §5: the
         # checkify analog — cheap host-side, on the already-fetched
         # loss scalar; reference aborts training on zero samples)
