@@ -5,10 +5,18 @@ testbed_nerf.cu:3614-3654 / get_density_on_grid :3502-3557): sample the
 field on a dense grid (density MLP for NeRF, SDF network for SDF),
 extract the isosurface, and color vertices by querying the network.
 
-Round-1 extraction uses marching *tetrahedra* (6 tets/cell): simpler
-tables, watertight output, numpy-vectorized; exact MC table parity is a
-follow-up. Vertices are deduplicated by edge key so the mesh is
-indexed like the reference's output.
+Extraction is exact 256-case marching cubes. The tables are not copied
+from anywhere: they are DERIVED at import time by walking the cut-edge
+graph of each corner configuration — each cut edge lies on two faces,
+each face pairs its cut edges (ambiguous 4-cut faces resolved by the
+fixed "isolate the inside corners" rule, which both cells sharing a
+face agree on, so meshes are crack-free), and the resulting cycles are
+oriented outward and fan-triangulated. This reproduces classic MC
+topology (including the asymmetric ambiguous cases) from first
+principles. Marching *tetrahedra* is kept as an alternative extractor.
+
+Vertices are deduplicated by edge key so the mesh is indexed like the
+reference's output.
 """
 
 from __future__ import annotations
@@ -65,6 +73,182 @@ def _tet_triangles(case: int):
 
 
 _CASE_TRIS = [_tet_triangles(c) for c in range(16)]
+
+
+# ---------------------------------------------------------------------------
+# exact marching cubes: derived 256-case tables
+# ---------------------------------------------------------------------------
+
+# classic MC edge numbering over the _CORNERS layout above
+_MC_EDGES = [
+    (0, 1), (1, 2), (2, 3), (3, 0),
+    (4, 5), (5, 6), (6, 7), (7, 4),
+    (0, 4), (1, 5), (2, 6), (3, 7),
+]
+_MC_EDGE_INDEX = {tuple(sorted(e)): i for i, e in enumerate(_MC_EDGES)}
+# cube faces as cyclic corner quads
+_MC_FACES = [
+    (0, 1, 2, 3), (4, 5, 6, 7),
+    (0, 1, 5, 4), (1, 2, 6, 5), (2, 3, 7, 6), (3, 0, 4, 7),
+]
+
+
+def _derive_mc_case(config: int):
+    """Triangles (triples of edge ids) for one corner configuration.
+    Bit i of config set ⇔ corner i is INSIDE (value < iso)."""
+    inside = [(config >> i) & 1 for i in range(8)]
+    cut = [i for i, (a, b) in enumerate(_MC_EDGES) if inside[a] != inside[b]]
+    if not cut:
+        return []
+
+    # per-face pairing of cut edges
+    links: dict[int, list[int]] = {e: [] for e in cut}
+    for quad in _MC_FACES:
+        fe = []  # face's cut edges in boundary order
+        for k in range(4):
+            a, b = quad[k], quad[(k + 1) % 4]
+            e = _MC_EDGE_INDEX[tuple(sorted((a, b)))]
+            if e in links:
+                fe.append((k, e))
+        if len(fe) == 2:
+            links[fe[0][1]].append(fe[1][1])
+            links[fe[1][1]].append(fe[0][1])
+        elif len(fe) == 4:
+            # ambiguous face: two diagonal inside corners — isolate
+            # them: pair the two face edges incident to each inside
+            # corner (a sign-only rule, identical from both cells)
+            for k in range(4):
+                c = quad[k]
+                if inside[c]:
+                    e_prev = _MC_EDGE_INDEX[tuple(sorted((quad[k - 1], c)))]
+                    e_next = _MC_EDGE_INDEX[tuple(sorted((c, quad[(k + 1) % 4])))]
+                    links[e_prev].append(e_next)
+                    links[e_next].append(e_prev)
+
+    for e, ls in links.items():
+        assert len(ls) == 2, (config, e, ls)
+
+    # walk cycles
+    unused = set(cut)
+    tris = []
+    corner_pos = _CORNERS.astype(np.float64)
+    while unused:
+        start = min(unused)
+        cycle = [start]
+        unused.discard(start)
+        prev, cur = None, start
+        while True:
+            a, b = links[cur]
+            nxt = a if a != prev else b
+            if nxt == start:
+                break
+            cycle.append(nxt)
+            unused.discard(nxt)
+            prev, cur = cur, nxt
+
+        # orient outward: the cycle is one connected isosurface piece
+        # of the trilinear field with corner values −1 (inside) / +1
+        # (outside); its normals must align with ∇field (which is
+        # continuous across cells → globally crack-consistent winding).
+        pts = np.array([
+            corner_pos[_MC_EDGES[e][0]] * 0.5 + corner_pos[_MC_EDGES[e][1]] * 0.5
+            for e in cycle
+        ])
+        vals = np.where(np.asarray(inside, bool), -1.0, 1.0)
+
+        def trilerp_grad(p):
+            g = np.zeros(3)
+            eps = 1e-4
+            for d in range(3):
+                for s, sign in ((eps, 1.0), (-eps, -1.0)):
+                    q = p.copy()
+                    q[d] += s
+                    f = 0.0
+                    for ci in range(8):
+                        w = 1.0
+                        for dd in range(3):
+                            cd = (ci >> dd) & 1 if False else _CORNERS[ci][dd]
+                            w *= q[dd] if cd else (1.0 - q[dd])
+                        f += vals[ci] * w
+                    g[d] += sign * f / (2 * eps)
+            return g
+
+        score = 0.0
+        for i in range(1, len(pts) - 1):
+            n_tri = np.cross(pts[i] - pts[0], pts[i + 1] - pts[0])
+            centroid = (pts[0] + pts[i] + pts[i + 1]) / 3.0
+            score += np.dot(n_tri, trilerp_grad(centroid))
+        if score < 0:
+            cycle = cycle[::-1]
+
+        for i in range(1, len(cycle) - 1):
+            tris.append((cycle[0], cycle[i], cycle[i + 1]))
+    return tris
+
+
+_MC_CASES = [_derive_mc_case(c) for c in range(256)]
+MC_MAX_TRIS = max(len(t) for t in _MC_CASES)
+
+
+def marching_cubes(values: np.ndarray, iso: float = 0.0):
+    """Exact MC isosurface of values==iso on a dense (X, Y, Z) grid.
+    Inside = values < iso. Returns (vertices (V,3) grid coords,
+    faces (F,3) int32), vertex-welded along shared cell edges.
+    """
+    X, Y, Z = values.shape
+    gx, gy, gz = np.meshgrid(
+        np.arange(X - 1), np.arange(Y - 1), np.arange(Z - 1), indexing="ij"
+    )
+    base = np.stack([gx, gy, gz], -1).reshape(-1, 3)
+    corner_vals = np.stack(
+        [values[base[:, 0] + dx, base[:, 1] + dy, base[:, 2] + dz]
+         for dx, dy, dz in _CORNERS], -1,
+    )  # (C, 8)
+    inside = corner_vals < iso
+    config = (inside * (1 << np.arange(8))).sum(-1)
+    active = (config != 0) & (config != 255)
+    base, corner_vals, config = base[active], corner_vals[active], config[active]
+
+    # emit triangle corner edge-ids per cell
+    tri_edges = []  # (S, 3) edge ids
+    tri_cells = []  # (S,) cell row
+    for c in np.unique(config):
+        tris = _MC_CASES[c]
+        if not tris:
+            continue
+        rows = np.nonzero(config == c)[0]
+        for tri in tris:
+            tri_edges.append(np.tile(np.asarray(tri)[None, :], (len(rows), 1)))
+            tri_cells.append(rows)
+    if not tri_edges:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+    tri_edges = np.concatenate(tri_edges)  # (S,3)
+    tri_cells = np.concatenate(tri_cells)
+
+    # per (cell, edge) vertex: interpolate + weld by global edge key
+    flat_e = tri_edges.reshape(-1)
+    flat_c = np.repeat(tri_cells, 3)
+    ea = np.asarray([e[0] for e in _MC_EDGES])[flat_e]
+    eb = np.asarray([e[1] for e in _MC_EDGES])[flat_e]
+    pa = base[flat_c] + _CORNERS[ea]
+    pb = base[flat_c] + _CORNERS[eb]
+    va = corner_vals[flat_c, ea]
+    vb = corner_vals[flat_c, eb]
+    t = (iso - va) / np.where(np.abs(vb - va) < 1e-12, 1e-12, vb - va)
+    p = pa + np.clip(t, 0.0, 1.0)[:, None] * (pb - pa)
+    ga = (pa[:, 0].astype(np.int64) * Y + pa[:, 1]) * Z + pa[:, 2]
+    gb = (pb[:, 0].astype(np.int64) * Y + pb[:, 1]) * Z + pb[:, 2]
+    keys = np.minimum(ga, gb) * (X * Y * Z) + np.maximum(ga, gb)
+    uniq, first, inv = np.unique(keys, return_index=True, return_inverse=True)
+    verts = p[first].astype(np.float32)
+    faces = inv.reshape(-1, 3).astype(np.int32)
+    # drop degenerate faces (duplicate welded vertices)
+    ok = (
+        (faces[:, 0] != faces[:, 1])
+        & (faces[:, 1] != faces[:, 2])
+        & (faces[:, 0] != faces[:, 2])
+    )
+    return verts, faces[ok]
 
 
 def marching_tetrahedra(values: np.ndarray, iso: float = 0.0):
@@ -212,9 +396,11 @@ def optimise_mesh(
     return v
 
 
-def extract_mesh(task, res: int = 256, iso: float | None = None, with_colors: bool = True):
+def extract_mesh(task, res: int = 256, iso: float | None = None, with_colors: bool = True,
+                 method: str = "cubes"):
     """Field → mesh. For NerfTask, iso defaults to the reference's
-    density threshold 2.5 (testbed.h mesh defaults); for SdfTask, 0."""
+    density threshold 2.5 (testbed.h mesh defaults); for SdfTask, 0.
+    method: "cubes" (exact 256-case MC, reference parity) or "tets"."""
     import jax.numpy as jnp
 
     from ..nerf.task import NerfTask
@@ -239,7 +425,8 @@ def extract_mesh(task, res: int = 256, iso: float | None = None, with_colors: bo
         vals = task.sdf(pts)
         field = vals.reshape(res, res, res) - iso
 
-    verts, faces = marching_tetrahedra(field, 0.0)
+    extractor = marching_cubes if method == "cubes" else marching_tetrahedra
+    verts, faces = extractor(field, 0.0)
     verts = (verts + 0.5) / res  # grid coords → [0,1] world
 
     colors = None

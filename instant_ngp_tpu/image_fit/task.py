@@ -223,11 +223,31 @@ class ImageTask:
     def inference_params(self):
         return self.opt.inference_params(self.opt_state, self.params)
 
-    def render(self, width: Optional[int] = None, height: Optional[int] = None) -> np.ndarray:
+    def render(self, width: Optional[int] = None, height: Optional[int] = None,
+               gt_checkerboard: bool = False, checker_px: int = 64) -> np.ndarray:
         """Full-frame inference → (H, W, 3) float32 in the training color
-        space (sRGB unless linear_colors)."""
+        space (sRGB unless linear_colors).
+
+        gt_checkerboard: composite ground-truth tiles in a checkerboard
+        with the prediction (the reference's side-by-side GT comparison
+        for the image primitive; GT reads snap to pixel centers like
+        eval_image_kernel_and_snap, testbed_image.cu:160-200)."""
         w = width or self.resolution[0]
         h = height or self.resolution[1]
+        if gt_checkerboard:
+            pred = self.render(width=w, height=h)
+            iw, ih = self.resolution
+            ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            px = np.clip((xs + 0.5) * iw // w, 0, iw - 1).astype(np.int64)
+            py = np.clip((ys + 0.5) * ih // h, 0, ih - 1).astype(np.int64)
+            tex = np.asarray(self.texture)  # stored linear
+            gt = tex[py, px, :3].astype(np.float32)
+            if not self.is_hdr and not self.linear_colors:
+                from ..common import linear_to_srgb
+
+                gt = np.asarray(linear_to_srgb(np.clip(gt, 0.0, 1.0)))
+            tiles = ((xs // checker_px) + (ys // checker_px)) % 2 == 0
+            return np.where(tiles[..., None], pred, gt).astype(np.float32)
         ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
         uv = jnp.stack(
             [(xs.reshape(-1) + 0.5) / w, (ys.reshape(-1) + 0.5) / h], axis=-1

@@ -283,6 +283,20 @@ def load_nerf(path, sharpen: float = 0.0) -> NerfDataset:
     )
     if meta.get("fisheye") or meta.get("is_fisheye"):
         ds.lens_mode = "opencv_fisheye"
+    if "ftheta_p0" in meta:
+        # F-theta polynomial lens (reference nerf_loader.cu:218-227):
+        # params = (p0..p4, w, h) — the uv offset is rescaled to the
+        # intrinsics' resolution
+        ds.lens_params = np.array(
+            [float(meta[f"ftheta_p{i}"]) for i in range(5)]
+            + [float(meta["w"]), float(meta["h"])], np.float32)
+        ds.lens_mode = "ftheta"
+    if "latlong" in meta:
+        ds.lens_mode = "latlong"
+    elif "equirectangular" in meta:
+        ds.lens_mode = "equirectangular"
+    elif "orthographic" in meta:
+        ds.lens_mode = "orthographic"
     if "up" in meta:
         ds.up = np.array(meta["up"], np.float32)
     if "render_aabb" in meta:

@@ -46,21 +46,63 @@ class OccupancyGridState:
 
     density: jax.Array  # (n_cascades, G, G, G) float32; negative = culled
     bitfield: jax.Array  # (NERF_CASCADES, G, G, G) bool
+    # Empty-cascade chain counts (TPU-first; see _skip_chain): per cell
+    # the number of consecutive empty cascades starting at this one.
+    # 0 = occupied. Lets the marcher decide occupancy AND the best skip
+    # cascade with ONE gather instead of the reference's per-step mip
+    # ascent probes (if_unoccupied_advance_to_next_occupied_voxel,
+    # nerf_device.cuh:462-495). float32 because f32 rows gather ~2×
+    # faster than narrow int dtypes on v5e (scripts/bench_gather_tpu).
+    skipmip: jax.Array  # (NERF_CASCADES, G, G, G) float32
     mean_density: jax.Array  # () float32
     ema_step: jax.Array  # () int32
 
 
 jax.tree_util.register_dataclass(
     OccupancyGridState,
-    data_fields=["density", "bitfield", "mean_density", "ema_step"],
+    data_fields=["density", "bitfield", "skipmip", "mean_density", "ema_step"],
     meta_fields=[],
 )
 
 
+def _skip_chain(bitfield: jax.Array) -> jax.Array:
+    """Per-cell consecutive-empty-cascade counts (float32).
+
+    A[m, c] = 0 if cascade m is occupied at cell c, else
+    1 + A[m+1, parent(c)] — i.e. the number of nested cascades (each 2×
+    the extent, same 128³ resolution) that are all empty around this
+    position. The marcher turns this into an occupancy test (A == 0)
+    and a maximal safe DDA skip (cascade m + A − 1) with a single
+    gather. Safe because the bitfield mip chain OR-pools children into
+    parents (_bitfield_from_density): an empty parent cell implies all
+    contained child cells are empty.
+
+    parent(c): cascade m's full extent maps onto the center half of
+    cascade m+1, so cell i's parent is G/4 + i//2 per axis.
+    """
+    q = G // 4
+    out = [None] * NERF_CASCADES
+    a_next = None
+    for m in reversed(range(NERF_CASCADES)):
+        empty = ~bitfield[m]
+        if a_next is None:
+            a = empty.astype(jnp.float32)
+        else:
+            up = a_next[q : 3 * q, q : 3 * q, q : 3 * q]
+            for axis in range(3):
+                up = jnp.repeat(up, 2, axis=axis)
+            a = jnp.where(empty, 1.0 + up, 0.0)
+        out[m] = a
+        a_next = a
+    return jnp.stack(out)
+
+
 def init_grid(n_cascades: int) -> OccupancyGridState:
+    bitfield = jnp.zeros((NERF_CASCADES, G, G, G), bool)
     return OccupancyGridState(
         density=jnp.zeros((n_cascades, G, G, G), jnp.float32),
-        bitfield=jnp.zeros((NERF_CASCADES, G, G, G), bool),
+        bitfield=bitfield,
+        skipmip=_skip_chain(bitfield),
         mean_density=jnp.zeros((), jnp.float32),
         ema_step=jnp.zeros((), jnp.int32),
     )
@@ -88,6 +130,21 @@ def occupied_at(bitfield: jax.Array, pos: jax.Array, mip: jax.Array) -> jax.Arra
     flat = ((mip * G + i[..., 0]) * G + i[..., 1]) * G + i[..., 2]
     vals = jnp.take(bitfield.reshape(-1), flat, axis=0)
     return vals & inb
+
+
+def skip_at(skipmip: jax.Array, pos: jax.Array, mip: jax.Array) -> jax.Array:
+    """Gather the empty-chain count at (mip, cell(pos)) — the marcher's
+    single probe. Returns (...,) float32: 0 = occupied at cascade mip;
+    a > 0 = cascades mip..mip+a−1 are all empty here (skip at the
+    largest). Out-of-grid positions return 1 (skip one voxel)."""
+    mip_scale = jnp.exp2(-mip.astype(jnp.float32))
+    p = (pos - 0.5) * mip_scale[..., None] + 0.5
+    i = jnp.floor(p * G).astype(jnp.int32)
+    inb = jnp.all((i >= 0) & (i < G), axis=-1)
+    i = jnp.clip(i, 0, G - 1)
+    flat = ((mip * G + i[..., 0]) * G + i[..., 1]) * G + i[..., 2]
+    vals = jnp.take(skipmip.reshape(-1), flat, axis=0)
+    return jnp.where(inb, vals, 1.0)
 
 
 def density_at(density_grid: jax.Array, pos: jax.Array, mip: jax.Array) -> jax.Array:
@@ -213,6 +270,7 @@ def update_grid(
     return OccupancyGridState(
         density=new_density,
         bitfield=bitfield,
+        skipmip=_skip_chain(bitfield),
         mean_density=mean_density,
         ema_step=state.ema_step + 1,
     )

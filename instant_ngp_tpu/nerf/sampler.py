@@ -29,7 +29,8 @@ from ..ops.raymarch import (
     ray_intersect_aabb,
     to_stepping_space,
 )
-from .occupancy import occupied_at
+from ..common import NERF_CASCADES
+from .occupancy import skip_at
 
 
 @dataclasses.dataclass(frozen=True)
@@ -44,18 +45,19 @@ class MarchConfig:
 def march_rays(
     o: jax.Array,
     d: jax.Array,
-    bitfield: jax.Array,
+    skipfield: jax.Array,
     aabb_min: jax.Array,
     aabb_max: jax.Array,
     t_start_jitter: jax.Array,
     cfg: MarchConfig,
     t_init: jax.Array | None = None,
 ):
-    """March rays through the occupancy bitfield.
+    """March rays through the occupancy grid.
 
     Args:
       o, d: (R, 3) origins and *normalized* directions (world units).
-      bitfield: (NERF_CASCADES, G, G, G) bool.
+      skipfield: (NERF_CASCADES, G, G, G) float32 empty-cascade chain
+        counts (OccupancyGridState.skipmip; occupancy.py _skip_chain).
       aabb_min/max: (3,) training AABB.
       t_start_jitter: (R,) uniform [0,1) start offset in stepping space
         (reference startt = advance_n_steps(tmin, cone, rand)).
@@ -67,8 +69,21 @@ def march_rays(
       dts: (R, K) step sizes
       valid: (R, K) bool
       t_exit: (R,) marching position after the scan (for windowed
-        rendering: resume from here)
+      rendering: resume from here)
       n_valid: (R,) int32 number of emitted samples
+
+    TPU-first notes (this loop is gather-bound; XLA's gather issues
+    ~1 row per ~7 ns on v5e regardless of op shape):
+      * ONE grid probe per iteration: the skipfield value is both the
+        occupancy test (0 = occupied) and the maximal safe skip
+        cascade, replacing the reference's probe-per-mip ascent
+        (nerf_device.cuh:462-495) — 1 gather/iter instead of
+        1+max_mip.
+      * Emitted samples land in their (ray, slot) bucket via a dense
+        one-hot select over the K axis (pure VPU) instead of a
+        per-iteration scatter.
+      * Step sizes are not buffered: dt is an analytic function of t
+        (calc_dt), recomputed vectorized after the loop.
     """
     R = o.shape[0]
     K = cfg.max_samples_per_ray
@@ -82,7 +97,7 @@ def march_rays(
     idir = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d >= 0, 1e-12, -1e-12), d)
 
     inside = lambda pos: jnp.all((pos >= aabb_min) & (pos <= aabb_max), axis=-1)
-    rows = jnp.arange(R)
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (R, K), 1)
 
     # NB: a lax.while_loop with a data-dependent condition, writing
     # emitted samples straight into the (R, K) buckets. A scan of
@@ -91,11 +106,11 @@ def march_rays(
     # a top-k compaction afterwards; the while formulation avoids both
     # and exits early once every ray has terminated.
     def cond(carry):
-        t, n_emitted, ts_buf, dts_buf, it, active = carry
+        t, n_emitted, ts_buf, it, active = carry
         return (it < cfg.n_march_iters) & active
 
     def body(carry):
-        t, n_emitted, ts_buf, dts_buf, it, _ = carry
+        t, n_emitted, ts_buf, it, _ = carry
         pos = o + t[:, None] * d
         ok = inside(pos) & (t < MAX_DEPTH) & (n_emitted < K)
 
@@ -103,41 +118,36 @@ def march_rays(
         mip = jnp.clip(
             mip_from_dt(dt, pos, cfg.max_mip), cfg.min_mip, cfg.max_mip
         )
-        occ = occupied_at(bitfield, pos, mip)
-
-        # ascend to the largest empty surrounding voxel for a max skip
-        # (reference if_unoccupied_advance_to_next_occupied_voxel)
-        skip_mip = mip
-        for _ in range(cfg.max_mip):
-            above_occ = occupied_at(bitfield, pos, jnp.minimum(skip_mip + 1, cfg.max_mip))
-            skip_mip = jnp.where(
-                (~occ) & (skip_mip < cfg.max_mip) & (~above_occ), skip_mip + 1, skip_mip
-            )
+        chain = skip_at(skipfield, pos, mip)  # 0 = occupied
+        occ = chain == 0.0
+        skip_mip = jnp.minimum(
+            mip + jnp.maximum(chain - 1.0, 0.0).astype(jnp.int32),
+            NERF_CASCADES - 1,
+        )
 
         emit = ok & occ
         slot = jnp.clip(n_emitted, 0, K - 1)
-        ts_buf = ts_buf.at[rows, slot].set(jnp.where(emit, t, ts_buf[rows, slot]))
-        dts_buf = dts_buf.at[rows, slot].set(jnp.where(emit, dt, dts_buf[rows, slot]))
+        write = emit[:, None] & (slot_iota == slot[:, None])
+        ts_buf = jnp.where(write, t[:, None], ts_buf)
 
         t_next_occ = t + dt
         t_next_skip = advance_to_next_voxel(t, ca, pos, d, idir, skip_mip)
         t_next = jnp.where(ok, jnp.where(occ, t_next_occ, t_next_skip), t)
         n_emitted = n_emitted + emit.astype(jnp.int32)
         active = jnp.any(ok)
-        return (t_next, n_emitted, ts_buf, dts_buf, it + 1, active)
+        return (t_next, n_emitted, ts_buf, it + 1, active)
 
     init = (
         t0,
         jnp.zeros((R,), jnp.int32),
         jnp.zeros((R, K), jnp.float32),
-        jnp.zeros((R, K), jnp.float32),
         jnp.int32(0),
         jnp.bool_(True),
     )
-    t_exit, n_valid, ts, dts, _, _ = jax.lax.while_loop(cond, body, init)
+    t_exit, n_valid, ts, _, _ = jax.lax.while_loop(cond, body, init)
     valid = (
         jax.lax.broadcasted_iota(jnp.int32, (R, K), 1) < n_valid[:, None]
     )
     ts = jnp.where(valid, ts, 0.0)
-    dts = jnp.where(valid, dts, 0.0)
+    dts = jnp.where(valid, calc_dt(ts, ca), 0.0)
     return ts, dts, valid, t_exit, n_valid

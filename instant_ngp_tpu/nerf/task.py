@@ -326,6 +326,16 @@ class NerfTask:
         # m_nerf.m_minimum_transmittance / run.py eval 1e-4); traced as
         # a runtime scalar so changing it does not recompile
         self.min_transmittance = EPS_T
+        # per-round march iteration budget for rendering (see
+        # _march_window); more rounds but far less lockstep waste
+        self.render_march_iters = 64
+        # render sample-window size per round: SMALL on purpose (the
+        # reference marches 1-8 steps between compactions,
+        # testbed_nerf.cu:1755-1760) — with a K=32 window a whole
+        # frame's first round evaluates R·32 samples even though most
+        # rays saturate opacity after a handful; K=8 lets early
+        # termination kill rays before the network pays for the rest
+        self.render_samples_per_window = 8
         # render-space controls (reference render_aabb crop box
         # testbed.h:708, near distance, DoF aperture/focus
         # init_rays_with_payload_kernel_nerf testbed_nerf.cu:1414-1528)
@@ -350,7 +360,13 @@ class NerfTask:
         )
         self._n_rays_current = n_rays_per_batch
         self._jit_update_grid = jax.jit(self._update_grid, static_argnames=("full",))
-        self._jit_render_round = jax.jit(self._render_round)
+        self._jit_render_round = jax.jit(
+            self._render_round, static_argnames=("compact",)
+        )
+        self._jit_march_window = jax.jit(self._march_window)
+        self._jit_eval_composite = jax.jit(
+            self._eval_and_composite, static_argnames=("compact",)
+        )
 
     # ------------------------------------------------------------------
     # data access
@@ -380,7 +396,7 @@ class NerfTask:
         flow through here via autodiff, replacing the reference's
         hand-written ray-differentiation kernels)."""
         from ..common import LensMode
-        from ..render.camera import camera_slerp, so3_exp, uv_to_dir_cam
+        from ..render.camera import camera_slerp, so3_exp, uv_to_ray_cam
 
         w, h = self.dataset.resolution
         focal = data["focals"][img_idx]  # (R,2)
@@ -399,7 +415,7 @@ class NerfTask:
             xform = camera_slerp(xform, data["xforms_end"][img_idx], pixel_t)
         if cam is not None and self.optimize_focal_length:
             focal = focal * (1.0 + cam["focal"])[None, :]
-        dir_cam = uv_to_dir_cam(
+        dir_cam, o_off = uv_to_ray_cam(
             uv, (w, h), focal, pp,
             lens_mode=LensMode(self.dataset.lens_mode),
             lens_params=jnp.asarray(self.dataset.lens_params),
@@ -418,7 +434,10 @@ class NerfTask:
             R_mat = jnp.einsum("rij,rjk->rik", R_off, R_mat)
             o = o + cam["pos"][img_idx]
         d = jnp.einsum("rij,rj->ri", R_mat, dir_cam)
-        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        o = o + jnp.einsum("rij,rj->ri", R_mat, o_off)
+        # F-theta marks degenerate pixels with d=0 → keep them 0 (the
+        # marcher then emits no samples ≙ reference Ray::invalid)
+        d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
         return o, d
 
     # ------------------------------------------------------------------
@@ -457,11 +476,13 @@ class NerfTask:
         if compact is not None and compact < M:
             from ..ops.compaction import (
                 compact_gather,
-                compaction_maps,
                 expand_gather,
+                prefix_compaction_maps,
             )
 
-            maps = compaction_maps(valid.reshape(M), compact)
+            # march validity is a per-ray prefix → CSR-style maps (no
+            # searchsorted; it cost ~20 ms at 2^17 capacity)
+            maps = prefix_compaction_maps(jnp.sum(valid, -1), K, compact)
             pos_c = compact_gather(pos_w.reshape(M, 3), maps.src, maps.dest, maps.kept)
             dir_c = compact_gather(dirs.reshape(M, 3), maps.src, maps.dest, maps.kept)
             extra_c = None
@@ -607,7 +628,7 @@ class NerfTask:
         ts, dts, valid, _, n_valid = march_rays(
             o0,
             d0,
-            state.grid.bitfield,
+            state.grid.skipmip,
             jnp.asarray(self.aabb_min),
             jnp.asarray(self.aabb_max),
             jitter,
@@ -757,7 +778,12 @@ class NerfTask:
                 # depth_loss_type on target_depth > 0); applies in every
                 # train mode
                 dloss = jnp.abs(depth_ray - target_depth) * (target_depth > 0)
-                per_ray = per_ray + self.depth_supervision_lambda * dloss
+                # depth term joins the OBJECTIVE only: the reference's
+                # error-map deposit and loss readout are photometric
+                # (testbed_nerf.cu:1041-1070 deposits loss_scalar from
+                # the color loss; depth supervision is a separate
+                # gradient term) — adding it to per_ray skewed the
+                # importance map on depth datasets (round-2 verdict).
                 objective = objective + self.depth_supervision_lambda * jnp.mean(dloss)
             # rays with zero samples are dropped by the reference; they
             # still see pure-background here, which regularizes empty
@@ -937,7 +963,13 @@ class NerfTask:
                 self._jit_update_grid = jax.jit(
                     self._update_grid, static_argnames=("full",)
                 )
-                self._jit_render_round = jax.jit(self._render_round)
+                self._jit_render_round = jax.jit(
+                    self._render_round, static_argnames=("compact",)
+                )
+                self._jit_march_window = jax.jit(self._march_window)
+                self._jit_eval_composite = jax.jit(
+                    self._eval_and_composite, static_argnames=("compact",)
+                )
                 self.exact_corners_after = None  # one switch, one retrace
             self._key, sub = jax.random.split(self._key)
             data = self.data
@@ -979,7 +1011,9 @@ class NerfTask:
     def _get_bricks(self, params):
         """Bricked dense-level tables for inference, cached per params
         identity (rebuilt after training steps change the tables)."""
-        key = id(params.get("pos_enc"))
+        # keyed by training step: id()-keying missed every call
+        # (inference_params materializes fresh arrays per render)
+        key = (self.training_step, self.model.pos_encoding.interpolation)
         cached = getattr(self, "_brick_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]
@@ -989,34 +1023,99 @@ class NerfTask:
         self._brick_cache = (key, bricks)
         return bricks
 
+    def _march_window(self, grid_bits, o, d, t, alive, tmax):
+        """March one K-sample window for the alive rays (dead rays are
+        made inert by starting them at MAX_DEPTH — they'd otherwise
+        keep emitting samples and probing the grid in lockstep).
+
+        Render rounds use a TIGHTER iteration budget than training
+        (render_march_iters): the lockstep while_loop costs every lane
+        one grid gather per iteration until the WORST ray finishes, so
+        long empty-space traversals are better paid for across several
+        rounds with alive-ray compaction in between."""
+        from ..common import MAX_DEPTH
+
+        R = o.shape[0]
+        cfg = dataclasses.replace(
+            self.march_cfg,
+            n_march_iters=min(self.march_cfg.n_march_iters,
+                              self.render_march_iters),
+            max_samples_per_ray=self.render_samples_per_window,
+        )
+        aabb_min = jnp.asarray(self.aabb_min)
+        aabb_max = jnp.asarray(self.aabb_max)
+        jitter = jnp.zeros((R,)) + 0.5
+        t_in = jnp.where(alive, t, jnp.float32(MAX_DEPTH))
+        ts, dts, valid, t_exit, n_valid = march_rays(
+            o, d, grid_bits, aabb_min, aabb_max, jitter, cfg, t_init=t_in
+        )
+        valid = valid & alive[:, None]
+        n_valid = jnp.where(alive, n_valid, 0)
+        return ts, dts, valid, t_exit, n_valid
+
     def _render_round(self, params, grid_bits, o, d, t, T, rgb, depth, alive, tmax,
-                      cost=None, eps_t=EPS_T, bricks=None):
+                      cost=None, eps_t=EPS_T, bricks=None, compact: int | None = None):
         """One render round: march a K-sample window and composite.
 
         The round loop runs on the host with an alive-count readback
         between rounds — mirroring the reference's compact-loop
         (host readback of n_alive per iteration, testbed_nerf.cu:1735);
         a device-side nested while_loop formulation compiled
-        pathologically slowly on TPU.
+        pathologically slowly on TPU. _render_rays splits march and
+        eval into two dispatches so `compact` can be sized from the
+        MEASURED sample count (see there); this single-program form is
+        kept for the traceable fixed-round path.
         """
-        R = o.shape[0]
-        cfg = self.march_cfg
+        ts, dts, valid, t_exit, n_valid = self._march_window(
+            grid_bits, o, d, t, alive, tmax)
+        out = self._eval_window(params, o, d, ts, valid, bricks, compact)
+        return self._composite_window(
+            out, ts, dts, valid, t, t_exit, T, rgb, depth, alive, tmax,
+            cost, eps_t)
+
+    def _eval_window(self, params, o, d, ts, valid, bricks=None,
+                     compact: int | None = None):
+        """Network evaluation over a marched (R, K) window, optionally
+        on the compacted valid prefix. The (R, K) window is mostly
+        invalid slots (dead rays, short in-window marches) and every
+        invalid slot pays the full encoding-gather cost — the render
+        wall on TPU (~7 ns per gathered row; L8F4 ≈ 50 rows/sample)."""
+        R, K = ts.shape
         aabb_min = jnp.asarray(self.aabb_min)
         aabb_max = jnp.asarray(self.aabb_max)
-        jitter = jnp.zeros((R,)) + 0.5
-
-        ts, dts, valid, t_exit, n_valid = march_rays(
-            o, d, grid_bits, aabb_min, aabb_max, jitter, cfg, t_init=t
-        )
-        valid = valid & alive[:, None]
         pos = o[:, None, :] + ts[..., None] * d[:, None, :]
         pos_w = (pos - aabb_min) / (aabb_max - aabb_min)
         dirs = jnp.broadcast_to(warp_direction(d)[:, None, :], pos.shape)
-        K = cfg.max_samples_per_ray
-        out = self.model(
-            params, pos_w.reshape(R * K, 3), dirs.reshape(R * K, 3),
-            bricks=bricks,
-        ).reshape(R, K, 4)
+        M = R * K
+        if compact is not None and compact < M:
+            from ..ops.compaction import prefix_compaction_maps
+
+            maps = prefix_compaction_maps(jnp.sum(valid, -1), K, compact)
+            pos_c = jnp.take(pos_w.reshape(M, 3), maps.src, axis=0)
+            dir_c = jnp.take(dirs.reshape(M, 3), maps.src, axis=0)
+            out_c = self.model(params, pos_c, dir_c, bricks=bricks)
+            out = jnp.take(out_c, maps.dest, axis=0)
+            out = jnp.where(maps.kept[:, None], out, 0.0).reshape(R, K, 4)
+        else:
+            out = self.model(
+                params, pos_w.reshape(M, 3), dirs.reshape(M, 3),
+                bricks=bricks,
+            ).reshape(R, K, 4)
+        return out
+
+    def _eval_and_composite(self, params, o, d, ts, dts, valid, t, t_exit, T,
+                            rgb, depth, alive, tmax, cost, eps_t, bricks,
+                            compact: int | None = None):
+        """Second half of a render round (one jit program): network on
+        the compacted valid prefix + composite. `compact` is chosen by
+        the host from the marched sample count — no overflow possible."""
+        out = self._eval_window(params, o, d, ts, valid, bricks, compact)
+        return self._composite_window(
+            out, ts, dts, valid, t, t_exit, T, rgb, depth, alive, tmax,
+            cost, eps_t)
+
+    def _composite_window(self, out, ts, dts, valid, t, t_exit, T, rgb, depth,
+                          alive, tmax, cost=None, eps_t=EPS_T):
         rgb_s = network_to_rgb(out[..., :3].astype(jnp.float32), self.rgb_activation)
         sigma = network_to_density(
             out[..., 3].astype(jnp.float32), self.density_activation
@@ -1039,11 +1138,11 @@ class NerfTask:
         progressed = t_exit > t
         alive = alive & (T_new >= eps_t) & (t_exit < tmax) & progressed
         if cost is None:
-            cost = jnp.zeros((R,))
+            cost = jnp.zeros((ts.shape[0],))
         cost = cost + jnp.sum(valid, axis=-1).astype(jnp.float32)
         return t_exit, T_new, rgb, depth, alive, cost
 
-    def _render_rays(self, params, grid_bits, o, d, key=None, max_rounds: int = 24,
+    def _render_rays(self, params, grid_bits, o, d, key=None, max_rounds: int = 64,
                      bricks=None):
         """Render rays to (rgb, alpha, depth): host loop over jitted
         march+composite rounds with alive-ray compaction between rounds
@@ -1086,15 +1185,15 @@ class NerfTask:
             n_alive = int(alive_np.sum())
             if n_alive == 0:
                 break
-            # compact when under half-full: gather alive rays into the
-            # next pow2 bucket (bounded set of compiled shapes)
-            if n_alive <= len(idx) // 4:
+            # compact whenever a smaller bucket fits: gather alive rays
+            # into the next pow2 bucket (bounded set of compiled shapes)
+            # quarter-steps (…, 1024, 4096, 16384, 65536): each
+            # bucket shape compiles once, and the serial remote
+            # compile service makes every extra shape cost minutes
+            b = int(np.ceil(np.log2(max(n_alive, 1))))
+            bucket = max(1024, 1 << (((b + 1) // 2) * 2))
+            if bucket < len(idx):
                 writeback(~alive_np)
-                # quarter-steps (…, 1024, 4096, 16384, 65536): each
-                # bucket shape compiles once, and the serial remote
-                # compile service makes every extra shape cost minutes
-                b = int(np.ceil(np.log2(max(n_alive, 1))))
-                bucket = max(1024, 1 << (((b + 1) // 2) * 2))
                 sel = np.nonzero(alive_np)[0]
                 take = np.concatenate([sel, np.zeros(bucket - len(sel), np.int64)])
                 idx = idx[take]
@@ -1105,9 +1204,26 @@ class NerfTask:
                 T_c, rgb_c, depth_c = gather(T_c), gather(rgb_c), gather(depth_c)
                 cost_c = gather(cost_c)
                 alive_c = jnp.asarray(valid)
-            t_c, T_c, rgb_c, depth_c, alive_c, cost_c = self._jit_render_round(
-                params, grid_bits, o_c, d_c, t_c, T_c, rgb_c, depth_c, alive_c, tmax_c,
-                cost_c, jnp.float32(self.min_transmittance), bricks,
+            # Two dispatches per round: march, then network+composite
+            # with a capacity sized from the MEASURED sample count (a
+            # scalar readback — the alive-count readback already syncs
+            # here anyway). Capacities are pow2 fractions of the window
+            # {M/16, M/8, M/4, M/2, M} so each (R-bucket, cap) pair
+            # compiles once.
+            K = self.render_samples_per_window
+            M = len(idx) * K
+            ts, dts, valid_s, t_exit, n_valid = self._jit_march_window(
+                grid_bits, o_c, d_c, t_c, alive_c, tmax_c)
+            nv = int(jnp.sum(n_valid))
+            cap = None
+            for frac in (16, 8, 4, 2):
+                if nv <= M // frac:
+                    cap = M // frac
+                    break
+            t_c, T_c, rgb_c, depth_c, alive_c, cost_c = self._jit_eval_composite(
+                params, o_c, d_c, ts, dts, valid_s, t_c, t_exit, T_c, rgb_c,
+                depth_c, alive_c, tmax_c, cost_c,
+                jnp.float32(self.min_transmittance), bricks, compact=cap,
             )
 
         writeback(np.ones(len(idx), bool))
@@ -1163,14 +1279,14 @@ class NerfTask:
         ys = ys.reshape(-1).astype(np.float32)
 
         params = self.opt.inference_params(self.state.opt_state, self.state.params)
-        grid_bits = self.state.grid.bitfield
+        grid_bits = self.state.grid.skipmip
         bricks = self._get_bricks(params)
 
         chunk = 1 << 16
         n = xs.shape[0]
         n_pad = (n + chunk - 1) // chunk * chunk
         from ..common import LensMode
-        from ..render.camera import uv_to_dir_cam
+        from ..render.camera import uv_to_ray_cam
 
         fl_arr = jnp.asarray([focal_length], jnp.float32)
         pp_arr = jnp.asarray([principal_point], jnp.float32)
@@ -1204,7 +1320,7 @@ class NerfTask:
                 # use the dataset's lens model so eval renders match the
                 # (distorted) physical cameras (reference renders through
                 # the same Lens as training; run.py:257-317 protocol)
-                dir_cam = uv_to_dir_cam(
+                dir_cam, o_off = uv_to_ray_cam(
                     uv_c, (width, height),
                     jnp.broadcast_to(fl_arr, (uv_c.shape[0], 2)),
                     jnp.broadcast_to(pp_arr, (uv_c.shape[0], 2)),
@@ -1227,8 +1343,9 @@ class NerfTask:
                     o = jnp.broadcast_to(xform[:, 3] + jnp.asarray(lens), d.shape)
                 else:
                     d = dir_cam @ xform[:, :3].T
-                    o = jnp.broadcast_to(xform[:, 3], d.shape)
-                d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+                    o = jnp.broadcast_to(xform[:, 3], d.shape) + o_off @ xform[:, :3].T
+                d = d / jnp.maximum(
+                    jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
                 rgb, alpha, depth, cost = self._render_rays(
                     params, grid_bits, o, d, bricks=bricks)
                 if render_mode == "shade" and self.train_envmap and \

@@ -53,6 +53,11 @@ def compaction_maps(valid: jax.Array, capacity: int) -> CompactionMaps:
 
     valid: (M,) bool. capacity: static Nc.
     All vectorized: one cumsum + one searchsorted; no scatter.
+
+    NB: searchsorted costs ~170 ns/query on v5e (log M gathers each) —
+    for per-ray-prefix masks (the marcher's output) use
+    prefix_compaction_maps instead, which builds `src` from one R-row
+    scatter + a cummax (~10× cheaper at render/train sizes).
     """
     M = valid.shape[0]
     v = valid.astype(jnp.int32)
@@ -66,6 +71,42 @@ def compaction_maps(valid: jax.Array, capacity: int) -> CompactionMaps:
     src_c = jnp.clip(src, 0, M - 1).astype(jnp.int32)
     n_valid = jnp.minimum(cnt[-1], capacity)
     return CompactionMaps(src_c, dest_c, kept, n_valid)
+
+
+def prefix_compaction_maps(n_valid: jax.Array, K: int, capacity: int) -> CompactionMaps:
+    """Compaction maps for PER-RAY-PREFIX validity (the march layout):
+    sample (r, k) is valid iff k < n_valid[r]; flat index i = r·K + k.
+
+    Equivalent to compaction_maps(valid.reshape(-1), capacity) for such
+    masks, but built CSR-style without searchsorted: the compacted slot
+    of (r, k) is off[r] + k with off = exclusive-cumsum(n_valid), and
+    the inverse ray-of-slot map comes from scattering each ray's start
+    slot (R rows — tiny) and a cummax over capacity.
+    """
+    R = n_valid.shape[0]
+    n = jnp.minimum(n_valid.astype(jnp.int32), K)
+    cum = jnp.cumsum(n)
+    off = cum - n  # (R,) exclusive offsets
+    total = cum[-1]
+
+    # dest/kept over the flat (R·K,) layout — pure VPU
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (R, K), 1)
+    dest2 = off[:, None] + k_iota
+    kept2 = (k_iota < n[:, None]) & (dest2 < capacity)
+    dest = jnp.clip(dest2, 0, capacity - 1).reshape(R * K)
+    kept = kept2.reshape(R * K)
+
+    # ray-of-slot: scatter each contributing ray's (start → ray+1),
+    # then cummax fills the segment
+    contrib = (n > 0) & (off < capacity)
+    off_c = jnp.clip(off, 0, capacity - 1)
+    r1 = jnp.where(contrib, jnp.arange(R, dtype=jnp.int32) + 1, 0)
+    ray_start = jnp.zeros((capacity,), jnp.int32).at[off_c].max(r1)
+    ray = jax.lax.cummax(ray_start) - 1  # (cap,) ray id per slot
+    ray = jnp.clip(ray, 0, R - 1)
+    src = ray * K + (jnp.arange(capacity, dtype=jnp.int32) - jnp.take(off, ray))
+    src = jnp.clip(src, 0, R * K - 1)
+    return CompactionMaps(src, dest, kept, jnp.minimum(total, capacity))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=())

@@ -142,6 +142,63 @@ def _all_corners(op: _LevelOp, grid, t):
     return jnp.stack(idx_c), jnp.stack(w_c)
 
 
+def _uses_simplex(op: _LevelOp) -> bool:
+    """Simplex interpolation applies to HASHED 3-D levels — the
+    gather-bound ones. Dense levels keep exact trilinear (their forward
+    is one bricked gather row and their backward is the separable MXU
+    splat, so 8 corners cost nothing there)."""
+    return op.interpolation == "simplex" and op.hashed and op.n_dims == 3
+
+
+def _simplex_corners(op: _LevelOp, grid, t):
+    """Freudenthal/Kuhn 4-corner simplex interpolation (TPU-first
+    design; no reference counterpart — tcnn interpolates 2^D corners).
+
+    The cell [0,1]³ splits into 6 tetrahedra by the ordering of the
+    fractional coords; the containing tet's corners are the cumulative
+    bit-patterns of the descending order and the barycentric weights
+    are differences of the sorted fracs:
+
+        c0 = 000, c1 = e_max, c2 = 1 − e_min, c3 = 111
+        w  = (1 − t_max, t_max − t_mid, t_mid − t_min, t_min)
+
+    Exactly linear inside each tet, C0 everywhere, reproduces linear
+    fields, weights ≥ 0 summing to 1 — at HALF the gather rows of
+    trilinear. On v5e the encoding gather (~7 ns/row) is the whole
+    training-forward and render wall, so rows are the currency.
+
+    Returns idx (4, N), w (4, N), rank masks (is_max, is_min) (N, D)
+    float32 for the analytic position gradient.
+    """
+    amax = jnp.argmax(t, axis=-1)
+    amin = jnp.argmin(t, axis=-1)
+    # all-equal tie: argmax == argmin; pick a distinct min axis (the
+    # affected weights are exactly 0 there, only index sanity matters)
+    amin = jnp.where(amin == amax, (amax + 1) % 3, amin)
+    eye = jnp.eye(3, dtype=jnp.int32)
+    b_max = jnp.take(eye, amax, axis=0)  # (N, 3) one-hot of the max axis
+    b_min = jnp.take(eye, amin, axis=0)
+    zeros = jnp.zeros_like(b_max)
+    bits4 = (zeros, b_max, 1 - b_min, jnp.ones_like(b_max))
+    idx4 = jnp.stack(
+        [_corner_index(op, grid, [b[:, d] for d in range(3)]) for b in bits4]
+    )
+    t_max = jnp.max(t, axis=-1)
+    t_min = jnp.min(t, axis=-1)
+    t_mid = jnp.sum(t, axis=-1) - t_max - t_min
+    w4 = jnp.stack([1.0 - t_max, t_max - t_mid, t_mid - t_min, t_min])
+    return idx4, w4, (b_max.astype(jnp.float32), b_min.astype(jnp.float32))
+
+
+def _level_corners(op: _LevelOp, grid, t):
+    """Dispatch: (idx (C,N), w (C,N), aux) for this level's
+    interpolation. aux is the simplex rank-mask pair or None."""
+    if _uses_simplex(op):
+        return _simplex_corners(op, grid, t)
+    idx, w = _all_corners(op, grid, t)
+    return idx, w, None
+
+
 # ---------------------------------------------------------------------------
 # whole-encoding custom VJP (all levels; batched scatter-free backward)
 # ---------------------------------------------------------------------------
@@ -149,21 +206,21 @@ def _all_corners(op: _LevelOp, grid, t):
 
 def _encode_fwd_impl(enc: "GridEncoding", params, x):
     """Shared forward: per-level gather+interp. Returns (out, feats)
-    with feats stacked (L, C, N, F) — kept as residuals so the
-    backward's dx never re-gathers (row gathers measured ~3 ns/row on
-    v5e; 16 levels × 8 corners × 131K samples would be ~50 ms)."""
+    with feats a per-level tuple of (C_l, N, F) — kept as residuals so
+    the backward's dx never re-gathers (row gathers measured ~3-7
+    ns/row on v5e). C_l varies per level: 2^D trilinear, 4 simplex."""
     F = enc.n_features_per_level
     outs, feats_all = [], []
     for level, table in zip(enc.levels, params):
         op = enc._level_op(level)
         grid, t, _ = _corner_setup(op, x)
-        idx, w = _all_corners(op, grid, t)  # (C, N)
+        idx, w, _aux = _level_corners(op, grid, t)  # (C, N)
         C, N = idx.shape
         feats = jnp.take(table, idx.reshape(C * N), axis=0).reshape(C, N, F)
         outs.append(jnp.einsum("cn,cnf->nf", w.astype(feats.dtype), feats))
         feats_all.append(feats)
     out = jnp.concatenate(outs, axis=-1)  # (N, L·F)
-    return out, jnp.stack(feats_all)  # (L, C, N, F)
+    return out, tuple(feats_all)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -195,8 +252,8 @@ def _hge_bwd(enc, res, g):
     for level in enc.levels:
         op = enc._level_op(level)
         grid, t, dchain = _corner_setup(op, x)
-        idx, w = _all_corners(op, grid, t)
-        geoms.append((op, grid, t, dchain, idx, w))
+        idx, w, aux = _level_corners(op, grid, t)
+        geoms.append((op, grid, t, dchain, idx, w, aux))
 
     # ---- d/dtable ---------------------------------------------------
     dtables = [None] * L
@@ -213,8 +270,9 @@ def _hge_bwd(enc, res, g):
             h = h ^ (bits[:, d] * np.uint32(_PRIMES[(d + 1) % len(_PRIMES)]))
         h = h * np.uint32(0x9E3779B1)
         u_rand = (h >> 8).astype(jnp.float32) * np.float32(2.0**-24)
-    merge_groups: dict[int, list[int]] = {}
-    for l, (op, grid, t, dchain, idx, w) in enumerate(geoms):
+    merge_groups: dict[tuple[int, int], list[int]] = {}
+    for l, (op, grid, t, dchain, idx, w, aux) in enumerate(geoms):
+        C = idx.shape[0]  # 2^D trilinear, 4 simplex
         if op.hashed and enc.hashed_grad_corners == 1 and method != "xla":
             # Stochastic single-corner table gradient (TPU-first
             # design note): every scatter formulation on TPU costs
@@ -240,13 +298,13 @@ def _hge_bwd(enc, res, g):
                 compute_dtype=jnp.bfloat16,
             )
         else:
-            merge_groups.setdefault(op.size, []).append(l)
-    for size, lvls in merge_groups.items():
-        # one batched sort-reduce for all levels of this table size
-        idx_stack = jnp.stack([geoms[l][4].reshape(C * N) for l in lvls])
+            merge_groups.setdefault((op.size, C), []).append(l)
+    for (size, C_g), lvls in merge_groups.items():
+        # one batched sort-reduce for all levels of this (size, C)
+        idx_stack = jnp.stack([geoms[l][4].reshape(C_g * N) for l in lvls])
         upd_stack = jnp.stack(
             [
-                (geoms[l][5][:, :, None] * g_levels[l][None, :, :]).reshape(C * N, F)
+                (geoms[l][5][:, :, None] * g_levels[l][None, :, :]).reshape(C_g * N, F)
                 for l in lvls
             ]
         )
@@ -255,12 +313,27 @@ def _hge_bwd(enc, res, g):
             dtables[l] = tabs[i]
 
     # ---- d/dx: analytic (tcnn grid backward dy_dx) ------------------
-    # dL/dx_d = Σ_l Σ_c (g_l·feats_lc) · sign_d(c) · Π_{d'≠d} a_{d'} · dchain_ld
+    # trilinear: dL/dx_d = Σ_c gf_c · sign_d(c) · Π_{d'≠d} a_{d'} · dchain
+    # simplex:   dw/dt is ±1 by the axis' rank among the fracs
+    #            (w = diffs of sorted fracs), so
+    #            dL/dt_d = is_max_d·(gf1−gf0) + is_mid_d·(gf2−gf1)
+    #                      + is_min_d·(gf3−gf2)
     dx = jnp.zeros((N, D), jnp.float32)
-    for l, (op, grid, t, dchain, idx, w) in enumerate(geoms):
+    for l, (op, grid, t, dchain, idx, w, aux) in enumerate(geoms):
         gdotf = jnp.einsum(
             "nf,cnf->cn", g_levels[l], feats[l].astype(jnp.float32)
         )  # (C, N)
+        if aux is not None:  # simplex level
+            is_max, is_min = aux  # (N, D)
+            is_mid = 1.0 - is_max - is_min
+            dt = (
+                is_max * (gdotf[1] - gdotf[0])[:, None]
+                + is_mid * (gdotf[2] - gdotf[1])[:, None]
+                + is_min * (gdotf[3] - gdotf[2])[:, None]
+            )
+            dx = dx + dt * dchain
+            continue
+        C = idx.shape[0]
         cols = []
         for d in range(D):
             acc = None
@@ -505,7 +578,11 @@ class GridEncoding:
             for c in range(C):
                 bits = [(c >> d) & 1 for d in range(D)]
                 rows.append(jnp.take(table, _corner_index(op, grid, bits), axis=0))
-            out.append(jnp.concatenate(rows, axis=-1))  # (size, C·F)
+            # bf16 rows: on v5e a bf16 gather costs a flat ~15 ns/row up
+            # to 64 B width, while f32 rows scale with width (41 ns at
+            # 128 B) — and inference compute is bf16 anyway
+            # (scripts/bench_gather_tpu).
+            out.append(jnp.concatenate(rows, axis=-1).astype(jnp.bfloat16))
         return tuple(out)
 
     def encode_infer(self, params, x, bricks=None, max_level=None,
@@ -526,9 +603,9 @@ class GridEncoding:
             op = self._level_op(level)
             grid, t, _ = _corner_setup(op, x)
             if brick is None:
-                idx, w = _all_corners(op, grid, t)
-                N = idx.shape[1]
-                feats = jnp.take(table, idx.reshape(-1), axis=0).reshape(C, N, F)
+                idx, w, _aux = _level_corners(op, grid, t)
+                Cl, N = idx.shape
+                feats = jnp.take(table, idx.reshape(-1), axis=0).reshape(Cl, N, F)
                 outs.append(jnp.einsum("cn,cnf->nf", w.astype(feats.dtype), feats))
             else:
                 R = level.resolution

@@ -56,10 +56,43 @@ def equirectangular_to_dir(u, v):
     return latlong_to_dir(u, 1.0 - v)
 
 
+def f_theta_dir(uv_centered, params):
+    """F-theta (fisheye polynomial) lens → camera-space direction
+    (reference f_theta_undistortion, common_device.cuh:368-380).
+    params: (r0..r4, width, height) — the uv offset is rescaled to the
+    intrinsics' own resolution; alpha = poly4(norm_pixels); direction
+    = (sinα·x̂, sinα·ŷ, cosα). Degenerate pixels (cosα ≤ 0 or center)
+    return the zero vector — callers treat those rays as invalid (the
+    reference's Ray::invalid)."""
+    xpix = uv_centered[:, 0] * params[5]
+    ypix = uv_centered[:, 1] * params[6]
+    norm = jnp.sqrt(xpix * xpix + ypix * ypix)
+    alpha = params[0] + norm * (
+        params[1] + norm * (params[2] + norm * (params[3] + norm * params[4]))
+    )
+    sin_a, cos_a = jnp.sin(alpha), jnp.cos(alpha)
+    bad = (cos_a <= jnp.finfo(jnp.float32).tiny) | (norm == 0.0)
+    inv_norm = jnp.where(norm == 0.0, 0.0, 1.0 / jnp.maximum(norm, 1e-30))
+    d = jnp.stack([sin_a * inv_norm * xpix, sin_a * inv_norm * ypix, cos_a], -1)
+    return jnp.where(bad[:, None], 0.0, d)
+
+
 def uv_to_dir_cam(uv, resolution, focal_length, principal_point,
                   lens_mode: LensMode = LensMode.PERSPECTIVE, lens_params=None):
     """uv (N,2) → camera-space directions (N,3), z-forward convention
-    (reference uv_to_ray, common_device.cuh)."""
+    (reference uv_to_ray, common_device.cuh). For ORTHOGRAPHIC use
+    uv_to_ray_cam — the pixel offset belongs in the ray ORIGIN."""
+    return uv_to_ray_cam(uv, resolution, focal_length, principal_point,
+                         lens_mode=lens_mode, lens_params=lens_params)[0]
+
+
+def uv_to_ray_cam(uv, resolution, focal_length, principal_point,
+                  lens_mode: LensMode = LensMode.PERSPECTIVE, lens_params=None):
+    """uv (N,2) → (dir_cam (N,3), origin_offset_cam (N,3)).
+
+    The origin offset is zero for all lenses except ORTHOGRAPHIC,
+    where the pixel displacement rides on the ray origin (reference
+    uv_to_ray, common_device.cuh:448-455 head_pos +=)."""
     w, h = resolution
     fx = focal_length[..., 0]
     fy = focal_length[..., 1]
@@ -67,11 +100,17 @@ def uv_to_dir_cam(uv, resolution, focal_length, principal_point,
     cy = principal_point[..., 1]
     u = (uv[:, 0] - cx) * w / fx
     v = (uv[:, 1] - cy) * h / fy
+    zeros3 = jnp.zeros((uv.shape[0], 3), uv.dtype)
 
     if lens_mode == LensMode.LATLONG:
-        return latlong_to_dir(uv[:, 0], uv[:, 1])
+        return latlong_to_dir(uv[:, 0], uv[:, 1]), zeros3
     if lens_mode == LensMode.EQUIRECTANGULAR:
-        return equirectangular_to_dir(uv[:, 0], uv[:, 1])
+        return equirectangular_to_dir(uv[:, 0], uv[:, 1]), zeros3
+    if lens_mode == LensMode.FTHETA:
+        if lens_params is None:
+            raise ValueError("F-theta lens requires its 7 intrinsic params")
+        uv_c = jnp.stack([uv[:, 0] - cx, uv[:, 1] - cy], -1)
+        return f_theta_dir(uv_c, lens_params), zeros3
     if lens_mode == LensMode.OPENCV and lens_params is not None:
         k1, k2, p1, p2 = lens_params[0], lens_params[1], lens_params[2], lens_params[3]
         u, v = iterative_opencv_undistortion(u, v, k1, k2, p1, p2)
@@ -80,9 +119,10 @@ def uv_to_dir_cam(uv, resolution, focal_length, principal_point,
             u, v, lens_params[0], lens_params[1], lens_params[2], lens_params[3]
         )
     elif lens_mode == LensMode.ORTHOGRAPHIC:
-        # direction is constant; offset goes into the origin (caller)
-        return jnp.stack([jnp.zeros_like(u), jnp.zeros_like(u), jnp.ones_like(u)], -1)
-    return jnp.stack([u, v, jnp.ones_like(u)], -1)
+        dirs = jnp.stack([jnp.zeros_like(u), jnp.zeros_like(u), jnp.ones_like(u)], -1)
+        off = jnp.stack([u, v, jnp.zeros_like(u)], -1)
+        return dirs, off
+    return jnp.stack([u, v, jnp.ones_like(u)], -1), zeros3
 
 
 def so3_exp(w):

@@ -161,23 +161,45 @@ class SdfTask:
     def _batch_producer(self):
         """Background GT generation: the single-core BVH queries run
         while the TPU consumes the previous batch (the reference's
-        CUDA-stream overlap, recast as a host pipeline thread)."""
+        CUDA-stream overlap, recast as a host pipeline thread). The
+        worker parks on the bounded queue and exits when stop_producer
+        is called (also via __del__)."""
         import queue
         import threading
 
         if not hasattr(self, "_queue"):
             self._queue = queue.Queue(maxsize=2)
+            self._stop = threading.Event()
 
             def worker():
-                while not getattr(self, "_stop", False):
+                while not self._stop.is_set():
                     batch = self.generate_training_batch()
-                    self._queue.put(batch)
+                    while not self._stop.is_set():
+                        try:
+                            self._queue.put(batch, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
 
             self._thread = threading.Thread(target=worker, daemon=True)
             self._thread.start()
         return self._queue
 
+    def stop_producer(self):
+        """Terminate the GT pipeline thread (idempotent)."""
+        if hasattr(self, "_stop"):
+            self._stop.set()
+            self._thread.join(timeout=5.0)
+
+    def __del__(self):  # noqa: D105
+        try:
+            self.stop_producer()
+        except Exception:  # noqa: BLE001 — interpreter teardown
+            pass
+
     def train(self, n_steps: int = 1) -> float:
+        import queue
+
         q = self._batch_producer()
         loss = None
         last = None
@@ -185,9 +207,12 @@ class SdfTask:
             try:
                 # reuse the last batch if the producer hasn't caught up
                 # (a TPU-side step is much faster than host BVH queries)
-                last = q.get(block=last is None, timeout=60.0)
-            except Exception:
-                pass
+                last = q.get(block=last is None, timeout=300.0)
+            except queue.Empty:
+                if last is None:
+                    # producer stalled on the very first batch: fall
+                    # back to synchronous generation rather than crash
+                    last = self.generate_training_batch()
             pts, d = last
             self.params, self.opt_state, loss = self._jit_step(
                 self.params, self.opt_state, jnp.asarray(pts), jnp.asarray(d)

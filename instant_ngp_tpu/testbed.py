@@ -199,9 +199,28 @@ class Testbed:
     ) -> np.ndarray:
         t0 = time.perf_counter()
         cam = camera_matrix if camera_matrix is not None else self.camera_matrix
+
+        def to_space(frame, produced_linear):
+            """Convert the rgb channels to the requested color space
+            (pyngp render_to_cpu contract: linear=True → linear HDR
+            values, linear=False → sRGB)."""
+            from .common import linear_to_srgb, srgb_to_linear
+
+            if produced_linear == linear:
+                return frame
+            rgb = frame[..., :3]
+            if produced_linear and not linear:
+                rgb = np.asarray(linear_to_srgb(np.clip(rgb, 0.0, None)))
+            else:
+                rgb = np.asarray(srgb_to_linear(np.clip(rgb, 0.0, 1.0)))
+            out = np.array(frame, copy=True)
+            out[..., :3] = rgb
+            return out
+
         if self.mode == TestbedMode.IMAGE:
             rgb = self.task.render(width, height)
             frame = np.concatenate([rgb, np.ones((*rgb.shape[:2], 1), np.float32)], -1)
+            frame = to_space(frame, produced_linear=bool(self.task.is_hdr))
         elif self.mode == TestbedMode.NERF:
             self.task.min_transmittance = self.nerf_min_transmittance
             frame = self.task.render(
@@ -212,11 +231,23 @@ class Testbed:
                 spp=spp,
                 background=tuple(self.background_color),
             )
-            if not linear:
-                # model output is sRGB for LDR scenes already
-                pass
+            # LDR scenes train/render in sRGB space, HDR in linear
+            # (reference testbed_nerf.cu:2354 rgb activation choice)
+            from .common import NerfActivation
+
+            produced_linear = self.task.rgb_activation == NerfActivation.EXPONENTIAL
+            frame = to_space(np.asarray(frame), produced_linear)
         elif self.mode in (TestbedMode.SDF, TestbedMode.VOLUME):
+            if spp != 1 and not getattr(self, "_spp_warned", False):
+                import warnings
+
+                warnings.warn(
+                    "spp > 1 has no effect for SDF/volume renders (the "
+                    "sphere tracer / volume marcher is deterministic at "
+                    "pixel centers)")
+                self._spp_warned = True
             frame = self.task.render(width, height, cam, fov=fov or self.fov)
+            frame = to_space(np.asarray(frame), produced_linear=True)
         else:
             raise ValueError(self.mode)
         self.render_ms.update((time.perf_counter() - t0) * 1000.0)
@@ -547,17 +578,19 @@ class Testbed:
             grid = snapshot_io.restore_density_grid(snap, task.max_cascade + 1)
             import dataclasses as dc
 
-            from .nerf.occupancy import _bitfield_from_density
+            from .nerf.occupancy import _bitfield_from_density, _skip_chain
 
             gstate = task.state.grid
             if grid is not None:
                 density = jnp.asarray(grid)
                 mean = jnp.mean(jnp.maximum(density[0], 0.0))
+                bitfield = _bitfield_from_density(density, mean)
                 gstate = dc.replace(
                     gstate,
                     density=density,
                     mean_density=mean,
-                    bitfield=_bitfield_from_density(density, mean),
+                    bitfield=bitfield,
+                    skipmip=_skip_chain(bitfield),
                 )
             opt_state = task.opt.init(params)
             if "optimizer_state" in snap:

@@ -61,7 +61,7 @@ d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 o = jnp.broadcast_to(xf[:, 3], d.shape)
 
 params = task.opt.inference_params(task.state.opt_state, task.state.params)
-bits = task.state.grid.bitfield
+bits = task.state.grid.skipmip
 amin = jnp.asarray(task.aabb_min)
 amax = jnp.asarray(task.aabb_max)
 jitter = jnp.full((R,), 0.5)

@@ -124,3 +124,39 @@ def test_end_to_end_model_equivalence():
     v2, g2 = jax.value_and_grad(compact_path)(w)
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5)
+
+
+class TestPrefixCompaction:
+    def test_matches_generic_maps(self):
+        """prefix_compaction_maps ≡ compaction_maps on per-ray-prefix
+        masks (the march layout), for random n_valid and capacities."""
+        import numpy as np
+        from instant_ngp_tpu.ops.compaction import (
+            compaction_maps,
+            prefix_compaction_maps,
+        )
+
+        rng = np.random.default_rng(0)
+        for R, K, cap in [(8, 4, 16), (16, 8, 64), (32, 8, 100), (7, 5, 12)]:
+            n = jnp.asarray(rng.integers(0, K + 1, size=R), jnp.int32)
+            valid = (
+                jax.lax.broadcasted_iota(jnp.int32, (R, K), 1) < n[:, None]
+            )
+            a = compaction_maps(valid.reshape(-1), cap)
+            b = prefix_compaction_maps(n, K, cap)
+            assert int(a.n_valid) == int(b.n_valid)
+            np.testing.assert_array_equal(np.asarray(a.kept), np.asarray(b.kept))
+            kept = np.asarray(a.kept)
+            np.testing.assert_array_equal(
+                np.asarray(a.dest)[kept], np.asarray(b.dest)[kept])
+            nv = int(a.n_valid)
+            np.testing.assert_array_equal(
+                np.asarray(a.src)[:nv], np.asarray(b.src)[:nv])
+
+    def test_zero_and_full(self):
+        from instant_ngp_tpu.ops.compaction import prefix_compaction_maps
+
+        m = prefix_compaction_maps(jnp.zeros(4, jnp.int32), 3, 8)
+        assert int(m.n_valid) == 0 and not bool(m.kept.any())
+        m = prefix_compaction_maps(jnp.full((4,), 3, jnp.int32), 3, 8)
+        assert int(m.n_valid) == 8  # overflow clamped to capacity

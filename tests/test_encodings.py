@@ -219,7 +219,15 @@ class TestGridEncoding:
         x = jax.random.uniform(jax.random.PRNGKey(1), (257, 3))
         ref = np.asarray(enc(params, x))
         fast = np.asarray(enc.encode_infer(params, x, bricks=bricks))
-        np.testing.assert_allclose(fast, ref, rtol=1e-5, atol=1e-5)
+        # bricks are stored bf16 (inference fast path; gather-width
+        # economics, see build_bricks) → bf16-relative tolerance on the
+        # dense levels; hashed levels stay exact f32
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(fast, ref, rtol=1e-2, atol=scale * 2**-8)
+        hashed_cols = np.concatenate(
+            [[lv.hashed] * enc.n_features_per_level for lv in enc.levels])
+        np.testing.assert_allclose(
+            fast[:, hashed_cols], ref[:, hashed_cols], rtol=1e-5, atol=1e-5)
 
     def test_max_level_masks_fine_levels(self):
         enc = GridEncoding(n_dims=2, n_levels=4, n_features_per_level=2,

@@ -12,6 +12,7 @@ from instant_ngp_tpu.common import (
 from instant_ngp_tpu.nerf.occupancy import (
     OccupancyGridState,
     _bitfield_from_density,
+    _skip_chain,
     init_grid,
     occupied_at,
 )
@@ -125,7 +126,7 @@ class TestMarch:
         d = jnp.array([[1.0, 0.0, 0.0]])
         jit = jnp.array([0.5])
         ts, dts, valid, t_exit, n_valid = march_rays(
-            o, d, bits, jnp.zeros(3), jnp.ones(3), jit, cfg
+            o, d, _skip_chain(bits), jnp.zeros(3), jnp.ones(3), jit, cfg
         )
         assert int(n_valid[0]) == 16  # K filled
         v = np.asarray(valid[0])
@@ -145,7 +146,7 @@ class TestMarch:
         o = jnp.array([[-0.5, 0.5, 0.5]])
         d = jnp.array([[1.0, 0.0, 0.0]])
         ts, dts, valid, t_exit, n_valid = march_rays(
-            o, d, bits, jnp.zeros(3), jnp.ones(3), jnp.array([0.5]), cfg
+            o, d, _skip_chain(bits), jnp.zeros(3), jnp.ones(3), jnp.array([0.5]), cfg
         )
         assert int(n_valid[0]) > 0
         xs = np.asarray(o[0, 0] + ts[0] * 1.0)[np.asarray(valid[0])]
@@ -157,7 +158,7 @@ class TestMarch:
         o = jnp.array([[-0.5, 0.5, 0.5]])
         d = jnp.array([[1.0, 0.0, 0.0]])
         ts, dts, valid, t_exit, n_valid = march_rays(
-            o, d, bits, jnp.zeros(3), jnp.ones(3), jnp.array([0.5]), cfg
+            o, d, _skip_chain(bits), jnp.zeros(3), jnp.ones(3), jnp.array([0.5]), cfg
         )
         assert int(n_valid[0]) == 0
         assert not np.asarray(valid).any()

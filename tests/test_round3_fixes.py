@@ -1,0 +1,138 @@
+"""Tests for the round-3 edge fixes: F-theta lens, orthographic origin
+offsets, Testbed.render color-space contract, image checkerboard GT,
+SDF producer lifecycle, error-map deposit purity."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from instant_ngp_tpu.common import LensMode
+
+
+class TestFTheta:
+    def test_ftheta_directions(self):
+        from instant_ngp_tpu.render.camera import f_theta_dir
+
+        # linear polynomial alpha = c·r (pixels) → equidistant fisheye
+        c = 0.001
+        params = jnp.asarray([0.0, c, 0.0, 0.0, 0.0, 1000.0, 1000.0])
+        uv = jnp.asarray([[0.1, 0.0], [0.0, 0.2], [0.1, 0.1]])
+        d = np.asarray(f_theta_dir(uv, params))
+        # ray 0: xpix=100 → alpha=0.1; dir = (sin .1, 0, cos .1)
+        np.testing.assert_allclose(d[0], [np.sin(0.1), 0, np.cos(0.1)], atol=1e-6)
+        np.testing.assert_allclose(d[1], [0, np.sin(0.2), np.cos(0.2)], atol=1e-6)
+        assert np.allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-5)
+
+    def test_ftheta_degenerate_center(self):
+        from instant_ngp_tpu.render.camera import f_theta_dir
+
+        params = jnp.asarray([0.0, 0.001, 0.0, 0.0, 0.0, 1000.0, 1000.0])
+        d = np.asarray(f_theta_dir(jnp.zeros((1, 2)), params))
+        np.testing.assert_allclose(d, 0.0)  # Ray::invalid marker
+
+    def test_uv_to_ray_cam_ftheta(self):
+        from instant_ngp_tpu.render.camera import uv_to_ray_cam
+
+        params = jnp.asarray([0.0, 0.001, 0.0, 0.0, 0.0, 100.0, 100.0])
+        uv = jnp.asarray([[0.6, 0.5]])
+        d, off = uv_to_ray_cam(
+            uv, (100, 100), jnp.asarray([[50.0, 50.0]]),
+            jnp.asarray([[0.5, 0.5]]), lens_mode=LensMode.FTHETA,
+            lens_params=params)
+        np.testing.assert_allclose(np.asarray(off), 0.0)
+        np.testing.assert_allclose(
+            np.asarray(d)[0], [np.sin(0.01), 0, np.cos(0.01)], atol=1e-6)
+
+
+class TestOrthographic:
+    def test_parallel_rays_offset_origins(self):
+        from instant_ngp_tpu.render.camera import uv_to_ray_cam
+
+        uv = jnp.asarray([[0.25, 0.5], [0.75, 0.5]])
+        d, off = uv_to_ray_cam(
+            uv, (64, 64), jnp.asarray([[64.0, 64.0]]),
+            jnp.asarray([[0.5, 0.5]]), lens_mode=LensMode.ORTHOGRAPHIC)
+        d = np.asarray(d)
+        np.testing.assert_allclose(d, [[0, 0, 1], [0, 0, 1]], atol=1e-7)
+        off = np.asarray(off)
+        assert off[0, 0] == pytest.approx(-0.25) and off[1, 0] == pytest.approx(0.25)
+        assert np.allclose(off[:, 2], 0.0)
+
+
+class TestImageCheckerboard:
+    def _task(self):
+        from instant_ngp_tpu.config import load_network_config
+        from instant_ngp_tpu.image_fit.task import ImageTask
+
+        img = np.random.default_rng(0).random((32, 48, 4)).astype(np.float32)
+        cfg = load_network_config("base.json", mode="image")
+        return ImageTask(img, False, cfg), img
+
+    def test_checkerboard_contains_gt_tiles(self):
+        from instant_ngp_tpu.common import linear_to_srgb, srgb_to_linear
+
+        task, img = self._task()
+        out = task.render(gt_checkerboard=True, checker_px=16)
+        assert out.shape == (32, 48, 3)
+        # tile (row 0, col 1) = GT tile: matches sRGB re-encode of the
+        # linear-stored texture (== original sRGB pixels)
+        gt_tile = out[0:16, 16:32]
+        expect = img[0:16, 16:32, :3]
+        np.testing.assert_allclose(gt_tile, expect, atol=2e-3)
+        # tile (0,0) is the prediction: a barely-trained net differs
+        pred_tile = out[0:16, 0:16]
+        assert np.abs(pred_tile - img[0:16, 0:16, :3]).max() > 1e-3
+
+
+def _cube_tris():
+    lo, hi = 0.3, 0.7
+    v = np.array([[x, y, z] for x in (lo, hi) for y in (lo, hi) for z in (lo, hi)])
+    quads = [
+        (0, 1, 3, 2), (4, 6, 7, 5), (0, 4, 5, 1),
+        (2, 3, 7, 6), (0, 2, 6, 4), (1, 5, 7, 3),
+    ]
+    tris = []
+    for a, b, c, d in quads:
+        tris.append([v[a], v[b], v[c]])
+        tris.append([v[a], v[c], v[d]])
+    return np.asarray(tris, np.float32)
+
+
+class TestSdfProducerLifecycle:
+    def test_stop_producer_joins_thread(self):
+        import __graft_entry__  # noqa: F401  (path setup)
+        from instant_ngp_tpu.sdf.task import SdfTask
+        from tests.test_tasks import tiny_config
+
+        task = SdfTask(_cube_tris(), tiny_config(loss="Mape"), batch_size=1 << 10)
+        task.train(2)
+        assert task._thread.is_alive()
+        task.stop_producer()
+        assert not task._thread.is_alive()
+        # idempotent
+        task.stop_producer()
+
+
+class TestDepositPurity:
+    def test_error_map_excludes_depth_term(self):
+        """On a depth dataset, the error-map deposit is photometric only:
+        train two tasks on identical data differing only in
+        depth_supervision_lambda — accumulated error maps match."""
+        import __graft_entry__ as g
+        from instant_ngp_tpu.nerf.task import NerfTask
+
+        ds = g._synthetic_dataset(n_images=2, w=16, h=16)
+        ds.depths = np.full((2, 16, 16), 0.8, np.float32)
+        kw = dict(n_rays_per_batch=64, max_samples_per_ray=4, n_march_iters=8)
+        t0 = NerfTask(ds, g._tiny_nerf_config(), **kw)
+        t1 = NerfTask(ds, g._tiny_nerf_config(), **kw)
+        assert t1.depth_supervision_lambda > 0  # depth data present
+        t1.depth_supervision_lambda = 123.0
+        # single step: same params, same forward — only the deposit
+        # could differ (after >1 step the depth term changes the params
+        # themselves, which is expected to diverge)
+        t0.train(1)
+        t1.train(1)
+        np.testing.assert_allclose(
+            np.asarray(t0.state.error_map), np.asarray(t1.state.error_map),
+            rtol=1e-4, atol=1e-7)
