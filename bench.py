@@ -116,20 +116,85 @@ def bench_fox():
             seconds_to_target = train_elapsed
             break
 
+    extras = {"steps": task.training_step}
+    try:
+        extras["gigapixel"] = bench_gigapixel()
+    except Exception as e:  # noqa: BLE001
+        extras["gigapixel"] = {"error": str(e)[:120]}
     if seconds_to_target is not None:
         return {
             "metric": "fox_nerf_seconds_to_30db_psnr",
             "value": round(seconds_to_target, 2),
             "unit": "s",
             "vs_baseline": round(seconds_to_target / 10.0, 3),
-            "extra": {"steps": task.training_step, "psnr": round(best_psnr, 2)},
+            "extra": {**extras, "psnr": round(best_psnr, 2)},
         }
     return {
         "metric": "fox_nerf_psnr_at_budget",
         "value": round(best_psnr, 2),
         "unit": "dB",
         "vs_baseline": round(best_psnr / TARGET_DB, 3),
-        "extra": {"steps": task.training_step, "budget_s": BUDGET_S},
+        "extra": {**extras, "budget_s": BUDGET_S},
+    }
+
+
+def bench_gigapixel():
+    """BASELINE 'gigapixel Tokyo' stand-in: no Tokyo asset in this
+    environment, so synthesize an 8192² image with multi-scale detail
+    and train image mode with log2_hashmap_size=21 (the named BASELINE
+    config). Reports steps/s and PSNR on a 1M-pixel random probe."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+
+    from instant_ngp_tpu.config import load_network_config
+    from instant_ngp_tpu.image_fit.task import ImageTask
+    from instant_ngp_tpu.metrics import mse_to_psnr
+
+    res = 8192
+    # procedural multi-octave pattern, built in fp32 tiles → uint8
+    img = np.empty((res, res, 4), np.uint8)
+    ys = np.arange(res, dtype=np.float32)[:, None] / res
+    for y0 in range(0, res, 1024):
+        yy = ys[y0 : y0 + 1024]
+        xx = np.arange(res, dtype=np.float32)[None, :] / res
+        v = np.zeros((1024, res), np.float32)
+        for o in range(6):
+            f = 2.0 ** (o + 2)
+            v += np.sin(f * 6.28318 * (xx + 0.37 * o)) * np.cos(
+                f * 6.28318 * (yy - 0.11 * o)) / (1.5**o)
+        v = (v - v.min()) / max(v.max() - v.min(), 1e-9)
+        tile = np.stack([v, v**2, 1.0 - v, np.ones_like(v)], -1)
+        img[y0 : y0 + 1024] = np.clip(tile * 255.0, 0, 255).astype(np.uint8)
+
+    cfg = load_network_config("base.json", mode="image")
+    cfg.setdefault("encoding", {})["log2_hashmap_size"] = 21
+    task = ImageTask(img, False, cfg)
+    task.train(2)  # compile
+    n_steps = 192
+    t0 = _t.time()
+    task.train(n_steps)
+    dt = _t.time() - t0
+
+    # PSNR probe on 1M random pixel centers
+    rng = np.random.default_rng(0)
+    px = rng.integers(0, res, 1 << 20)
+    py = rng.integers(0, res, 1 << 20)
+    uv = jnp.asarray(
+        np.stack([(px + 0.5) / res, (py + 0.5) / res], -1), jnp.float32)
+    pred = np.asarray(task._jit_infer(task.inference_params, uv))
+    from instant_ngp_tpu.common import linear_to_srgb
+
+    gt_lin = np.asarray(task.texture)[py, px, :3]
+    gt = np.asarray(linear_to_srgb(np.clip(gt_lin, 0.0, 1.0)))
+    mse = float(np.mean((np.clip(pred, 0, 1) - gt) ** 2))
+    return {
+        "steps_per_s": round(n_steps / dt, 2),
+        "psnr_1m_probe": round(mse_to_psnr(mse), 2),
+        "resolution": res,
+        "log2_hashmap_size": 21,
+        "steps": task.training_step,
     }
 
 

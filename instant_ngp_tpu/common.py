@@ -38,6 +38,11 @@ class TestbedMode(enum.Enum):
     SDF = "sdf"
     IMAGE = "image"
     VOLUME = "volume"
+    # pybind11 member casing of the reference (python_api.cu) — aliases
+    Nerf = "nerf"
+    Sdf = "sdf"
+    Image = "image"
+    Volume = "volume"
 
 
 class ColorSpace(enum.Enum):
@@ -113,6 +118,10 @@ class TrainMode(enum.Enum):
     NERF = "nerf"
     RFL = "rfl"
     RFL_RELAX = "rflrelax"
+    # pybind11 member casing of the reference (python_api.cu) — aliases
+    Nerf = "nerf"
+    Rfl = "rfl"
+    RflRelax = "rflrelax"
 
 
 # --- color conversions (reference common_device.cuh:61-103) ---

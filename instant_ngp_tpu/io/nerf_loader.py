@@ -58,6 +58,9 @@ class NerfDataset:
     render_aabb: Optional[np.ndarray] = None  # (2, 3) min/max in NGP space
     envmap_path: Optional[str] = None
     paths: tuple = ()
+    # (N, 2) per-image (w, h) when images have differing sizes (each
+    # padded into the max canvas); None for uniform datasets
+    per_image_resolution: Optional[np.ndarray] = None
 
     @property
     def n_images(self) -> int:
@@ -198,10 +201,21 @@ def load_nerf(path, sharpen: float = 0.0) -> NerfDataset:
     imgs = [r[0][0] for r in results]
     paths = tuple(r[1] for r in results)
     is_hdr = results[0][0][1]
-    h, w = imgs[0].shape[:2]
-    for im in imgs:
-        if im.shape[:2] != (h, w):
-            raise NotImplementedError("mixed-resolution NeRF datasets not yet supported")
+    sizes = np.asarray([[im.shape[1], im.shape[0]] for im in imgs])  # (N,2) wh
+    mixed = bool((sizes != sizes[0]).any())
+    h = int(sizes[:, 1].max())
+    w = int(sizes[:, 0].max())
+    if mixed:
+        # per-image resolutions (real phone captures): pad every image
+        # into the max canvas; all uv math stays per-image via
+        # per_image_resolution (the reference keeps per-image metadata,
+        # nerf_loader.cu TrainingImageMetadata.resolution)
+        padded = []
+        for im in imgs:
+            canvas = np.zeros((h, w, im.shape[2]), im.dtype)
+            canvas[: im.shape[0], : im.shape[1]] = im
+            padded.append(canvas)
+        imgs = padded
 
     if is_hdr:
         images = np.stack(imgs).astype(np.float16)
@@ -249,6 +263,7 @@ def load_nerf(path, sharpen: float = 0.0) -> NerfDataset:
         from_mitsuba=bool(meta.get("from_mitsuba", False)),
         n_extra_learnable_dims=int(meta.get("n_extra_learnable_dims", 0)),
         paths=paths,
+        per_image_resolution=sizes.astype(np.int32) if mixed else None,
     )
 
     fx_g = focal(meta, "x", w)
@@ -260,12 +275,14 @@ def load_nerf(path, sharpen: float = 0.0) -> NerfDataset:
     rs_g = np.array(meta.get("rolling_shutter", [0, 0, 0, 0]), np.float32)
 
     for i, fr in enumerate(frames):
-        fx = focal(fr, "x", w, other=fx_g)
-        fy = focal(fr, "y", h, other=fy_g) or fx
+        wi, hi = int(sizes[i, 0]), int(sizes[i, 1])
+        # global camera_angle falls back at the IMAGE's own resolution
+        fx = focal(fr, "x", wi, other=focal(meta, "x", wi, other=fx_g))
+        fy = focal(fr, "y", hi, other=focal(meta, "y", hi, other=fy_g)) or fx
         focal_lengths[i] = (fx, fy if fy else fx)
         principal[i] = (
-            float(fr.get("cx", cx_g * w)) / w if "cx" in fr else cx_g,
-            float(fr.get("cy", cy_g * h)) / h if "cy" in fr else cy_g,
+            float(fr.get("cx", cx_g * wi)) / wi if "cx" in fr else cx_g,
+            float(fr.get("cy", cy_g * hi)) / hi if "cy" in fr else cy_g,
         )
         rolling[i] = np.array(fr.get("rolling_shutter", rs_g), np.float32)
         m = fr.get("transform_matrix", fr.get("transform_matrix_start"))

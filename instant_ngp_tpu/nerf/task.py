@@ -304,6 +304,9 @@ class NerfTask:
             )
         if dataset.depths is not None:
             self.data["depths"] = jnp.asarray(dataset.depths, jnp.float32)
+        if dataset.per_image_resolution is not None:
+            self.data["img_wh"] = jnp.asarray(
+                dataset.per_image_resolution, jnp.int32)
         if include_sharpness_in_error:
             self.data["sharpness"] = jnp.asarray(
                 dataset.compute_sharpness_maps(), jnp.float32
@@ -355,10 +358,51 @@ class NerfTask:
         # replicated; XLA inserts the gradient all-reduce over ICI).
         self.mesh = None
 
+        self._n_rays_current = n_rays_per_batch
+        self.rebuild_jit_programs()
+
+    def _prep_rays(self, uv, wh, fl, pp, xform):
+        """Jitted pinhole/lens ray generation for rendering (one
+        dispatch instead of ~10 eager ops — each eager dispatch costs
+        ~ms through the tunneled device)."""
+        from ..common import LensMode
+        from ..render.camera import uv_to_ray_cam
+
+        R = uv.shape[0]
+        dir_cam, o_off = uv_to_ray_cam(
+            uv, (wh[0], wh[1]),
+            jnp.broadcast_to(fl[None, :], (R, 2)),
+            jnp.broadcast_to(pp[None, :], (R, 2)),
+            lens_mode=LensMode(self.dataset.lens_mode),
+            lens_params=jnp.asarray(self.dataset.lens_params),
+        )
+        d = dir_cam @ xform[:, :3].T
+        o = jnp.broadcast_to(xform[:, 3], d.shape) + o_off @ xform[:, :3].T
+        d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+        # render-loop init (reference init_rays_from_camera): clip to
+        # the render crop box + near plane
+        aabb_min = jnp.maximum(jnp.asarray(self.render_aabb_min),
+                               jnp.asarray(self.aabb_min))
+        aabb_max = jnp.minimum(jnp.asarray(self.render_aabb_max),
+                               jnp.asarray(self.aabb_max))
+        tmin, tmax = _aabb_entry(o, d, aabb_min, aabb_max)
+        tmin = jnp.maximum(tmin, self.render_near_distance)
+        return o, d, tmin, tmax
+
+    def _gather_ray_state(self, arrs, take):
+        """Jitted alive-ray compaction gather (device-side; the numpy
+        round-trip cost ~10 eager transfers per compaction)."""
+        return tuple(jnp.take(a, take, axis=0) for a in arrs)
+
+    def rebuild_jit_programs(self):
+        """(Re)create the jitted program wrappers. jax.jit caches
+        compiled programs keyed on ARGUMENTS — mutating self.model /
+        self.march_cfg after the first call is silently ignored by the
+        existing wrappers, so every config mutation must call this
+        (the corner anneal and pyngp setters do)."""
         self._jit_train_step = jax.jit(
             self._train_step, static_argnames=("n_rays", "use_cdf", "mode")
         )
-        self._n_rays_current = n_rays_per_batch
         self._jit_update_grid = jax.jit(self._update_grid, static_argnames=("full",))
         self._jit_render_round = jax.jit(
             self._render_round, static_argnames=("compact",)
@@ -367,6 +411,8 @@ class NerfTask:
         self._jit_eval_composite = jax.jit(
             self._eval_and_composite, static_argnames=("compact",)
         )
+        self._jit_prep_rays = jax.jit(self._prep_rays)
+        self._jit_gather_ray_state = jax.jit(self._gather_ray_state)
 
     # ------------------------------------------------------------------
     # data access
@@ -375,8 +421,13 @@ class NerfTask:
         """Nearest-pixel read → premultiplied-linear RGBA (reference
         read_rgba, common_device.cuh:846-869)."""
         w, h = self.dataset.resolution
-        px = jnp.clip(jnp.floor(uv[:, 0] * w).astype(jnp.int32), 0, w - 1)
-        py = jnp.clip(jnp.floor(uv[:, 1] * h).astype(jnp.int32), 0, h - 1)
+        if "img_wh" in data:  # mixed-resolution dataset: per-image size
+            w = data["img_wh"][img_idx, 0]
+            h = data["img_wh"][img_idx, 1]
+        px = jnp.clip(jnp.floor(uv[:, 0] * w).astype(jnp.int32), 0,
+                      jnp.asarray(w - 1))
+        py = jnp.clip(jnp.floor(uv[:, 1] * h).astype(jnp.int32), 0,
+                      jnp.asarray(h - 1))
         raw = data["images"][img_idx, py, px]  # (R, 4)
         if self.dataset.is_hdr:
             return raw.astype(jnp.float32), jnp.ones(raw.shape[0], bool)
@@ -399,6 +450,9 @@ class NerfTask:
         from ..render.camera import camera_slerp, so3_exp, uv_to_ray_cam
 
         w, h = self.dataset.resolution
+        if "img_wh" in data:  # mixed-resolution dataset: per-image size
+            w = data["img_wh"][img_idx, 0].astype(jnp.float32)
+            h = data["img_wh"][img_idx, 1].astype(jnp.float32)
         focal = data["focals"][img_idx]  # (R,2)
         pp = data["principals"][img_idx]
         xform = data["xforms"][img_idx]  # (R,3,4)
@@ -957,19 +1011,7 @@ class NerfTask:
                 # jit caches the compiled program keyed on ARGUMENTS;
                 # a model swap on self is invisible to the existing
                 # wrappers — rebuild them so the next call retraces
-                self._jit_train_step = jax.jit(
-                    self._train_step, static_argnames=("n_rays", "use_cdf", "mode")
-                )
-                self._jit_update_grid = jax.jit(
-                    self._update_grid, static_argnames=("full",)
-                )
-                self._jit_render_round = jax.jit(
-                    self._render_round, static_argnames=("compact",)
-                )
-                self._jit_march_window = jax.jit(self._march_window)
-                self._jit_eval_composite = jax.jit(
-                    self._eval_and_composite, static_argnames=("compact",)
-                )
+                self.rebuild_jit_programs()
                 self.exact_corners_after = None  # one switch, one retrace
             self._key, sub = jax.random.split(self._key)
             data = self.data
@@ -1143,18 +1185,21 @@ class NerfTask:
         return t_exit, T_new, rgb, depth, alive, cost
 
     def _render_rays(self, params, grid_bits, o, d, key=None, max_rounds: int = 64,
-                     bricks=None):
+                     bricks=None, tminmax=None):
         """Render rays to (rgb, alpha, depth): host loop over jitted
         march+composite rounds with alive-ray compaction between rounds
         (the reference's compact_kernel_nerf, recast as host-side
         gather/scatter into power-of-two buckets so each bucket size
         compiles once)."""
         R = o.shape[0]
-        # rays are clipped to the render crop box + near plane
-        aabb_min = jnp.asarray(np.maximum(self.render_aabb_min, self.aabb_min))
-        aabb_max = jnp.asarray(np.minimum(self.render_aabb_max, self.aabb_max))
-        tmin, tmax = _aabb_entry(o, d, aabb_min, aabb_max)
-        tmin = jnp.maximum(tmin, self.render_near_distance)
+        if tminmax is not None:
+            tmin, tmax = tminmax
+        else:
+            # rays are clipped to the render crop box + near plane
+            aabb_min = jnp.asarray(np.maximum(self.render_aabb_min, self.aabb_min))
+            aabb_max = jnp.asarray(np.minimum(self.render_aabb_max, self.aabb_max))
+            tmin, tmax = _aabb_entry(o, d, aabb_min, aabb_max)
+            tmin = jnp.maximum(tmin, self.render_near_distance)
 
         rgb_out = np.zeros((R, 3), np.float32)
         T_out = np.ones((R,), np.float32)
@@ -1198,11 +1243,10 @@ class NerfTask:
                 take = np.concatenate([sel, np.zeros(bucket - len(sel), np.int64)])
                 idx = idx[take]
                 valid = np.arange(bucket) < len(sel)
-                gather = lambda a: jnp.asarray(np.asarray(a)[take])
-                o_c, d_c = gather(o_c), gather(d_c)
-                t_c, tmax_c = gather(t_c), gather(tmax_c)
-                T_c, rgb_c, depth_c = gather(T_c), gather(rgb_c), gather(depth_c)
-                cost_c = gather(cost_c)
+                (o_c, d_c, t_c, tmax_c, T_c, rgb_c, depth_c, cost_c
+                 ) = self._jit_gather_ray_state(
+                    (o_c, d_c, t_c, tmax_c, T_c, rgb_c, depth_c, cost_c),
+                    jnp.asarray(take, jnp.int32))
                 alive_c = jnp.asarray(valid)
             # Two dispatches per round: march, then network+composite
             # with a capacity sized from the MEASURED sample count (a
@@ -1319,18 +1363,20 @@ class NerfTask:
                 uv_c = jnp.asarray(uv[i : i + chunk])
                 # use the dataset's lens model so eval renders match the
                 # (distorted) physical cameras (reference renders through
-                # the same Lens as training; run.py:257-317 protocol)
-                dir_cam, o_off = uv_to_ray_cam(
-                    uv_c, (width, height),
-                    jnp.broadcast_to(fl_arr, (uv_c.shape[0], 2)),
-                    jnp.broadcast_to(pp_arr, (uv_c.shape[0], 2)),
-                    lens_mode=LensMode(self.dataset.lens_mode),
-                    lens_params=jnp.asarray(self.dataset.lens_params),
-                )
+                # the same Lens as training; run.py:257-317 protocol).
+                # One jitted dispatch: ray gen + crop-box clip.
+                tminmax = None
                 if self.aperture_size > 0.0:
-                    # thin-lens DoF: offset origin on the aperture disk,
-                    # re-aim at the focus plane (reference
-                    # init_rays...:1441-1452); per-spp Halton(5,7) disk
+                    # thin-lens DoF (eager; rare path): offset origin on
+                    # the aperture disk, re-aim at the focus plane
+                    # (reference init_rays...:1441-1452); Halton(5,7)
+                    dir_cam, o_off = uv_to_ray_cam(
+                        uv_c, (width, height),
+                        jnp.broadcast_to(fl_arr, (uv_c.shape[0], 2)),
+                        jnp.broadcast_to(pp_arr, (uv_c.shape[0], 2)),
+                        lens_mode=LensMode(self.dataset.lens_mode),
+                        lens_params=jnp.asarray(self.dataset.lens_params),
+                    )
                     ang = 2.0 * np.pi * halton(s + 1, 5)
                     rad = self.aperture_size * np.sqrt(halton(s + 1, 7))
                     lens = rad * (np.cos(ang) * np.asarray(xform[:, 0])
@@ -1341,13 +1387,15 @@ class NerfTask:
                          lens @ np.asarray(xform[:, 1]), 0.0])
                     d = d_cam @ xform[:, :3].T
                     o = jnp.broadcast_to(xform[:, 3] + jnp.asarray(lens), d.shape)
+                    d = d / jnp.maximum(
+                        jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
                 else:
-                    d = dir_cam @ xform[:, :3].T
-                    o = jnp.broadcast_to(xform[:, 3], d.shape) + o_off @ xform[:, :3].T
-                d = d / jnp.maximum(
-                    jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+                    o, d, tmin, tmax = self._jit_prep_rays(
+                        uv_c, jnp.asarray([width, height], jnp.float32),
+                        fl_arr[0], pp_arr[0], xform)
+                    tminmax = (tmin, tmax)
                 rgb, alpha, depth, cost = self._render_rays(
-                    params, grid_bits, o, d, bricks=bricks)
+                    params, grid_bits, o, d, bricks=bricks, tminmax=tminmax)
                 if render_mode == "shade" and self.train_envmap and \
                         "envmap" in self.state.cam:
                     ev = _read_envmap(self.state.cam["envmap"], d)

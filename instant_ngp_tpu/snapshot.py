@@ -110,6 +110,185 @@ def _unpack_params(blob: np.ndarray, params_template: dict) -> dict:
     return out
 
 
+# ---------------------------------------------------------------------------
+# json_binding.h schema: Lens + NerfDataset (reference json_binding.h)
+# ---------------------------------------------------------------------------
+
+
+def lens_to_json(mode: str, params) -> dict:
+    """Lens → json (reference json_binding.h:37-65 to_json(Lens))."""
+    p = np.asarray(params, np.float32).reshape(-1)
+    p = np.concatenate([p, np.zeros(max(0, 7 - p.size), np.float32)])
+    if mode == "opencv":
+        return {"is_fisheye": False, "k1": float(p[0]), "k2": float(p[1]),
+                "p1": float(p[2]), "p2": float(p[3])}
+    if mode == "opencv_fisheye":
+        return {"is_fisheye": True, "k1": float(p[0]), "k2": float(p[1]),
+                "k3": float(p[2]), "k4": float(p[3])}
+    if mode == "ftheta":
+        return {f"ftheta_p{i}": float(p[i]) for i in range(5)} | {
+            "w": float(p[5]), "h": float(p[6])}
+    if mode == "latlong":
+        return {"latlong": True}
+    if mode == "equirectangular":
+        return {"equirectangular": True}
+    if mode == "orthographic":
+        return {"orthographic": True}
+    return {}
+
+
+def lens_from_json(j: dict) -> tuple[str, np.ndarray]:
+    """json → (mode, params) (reference json_binding.h:67-100)."""
+    j = j or {}
+    if "k1" in j:
+        if j.get("is_fisheye", False):
+            return "opencv_fisheye", np.asarray(
+                [j["k1"], j["k2"], j.get("k3", 0.0), j.get("k4", 0.0)], np.float32)
+        return "opencv", np.asarray(
+            [j["k1"], j["k2"], j.get("p1", 0.0), j.get("p2", 0.0)], np.float32)
+    if "ftheta_p0" in j:
+        return "ftheta", np.asarray(
+            [j[f"ftheta_p{i}"] for i in range(5)] + [j["w"], j["h"]], np.float32)
+    if j.get("latlong"):
+        return "latlong", np.zeros(4, np.float32)
+    if j.get("equirectangular"):
+        return "equirectangular", np.zeros(4, np.float32)
+    if j.get("orthographic"):
+        return "orthographic", np.zeros(4, np.float32)
+    return "perspective", np.zeros(4, np.float32)
+
+
+def _mat_cols(m: np.ndarray) -> list:
+    """(3, 4) row-major → column list (tcnn vec_json mat4x3 layout:
+    an array of 4 column vec3s)."""
+    return np.asarray(m, np.float32).T.tolist()
+
+
+def _mat_from_json(v) -> np.ndarray:
+    """Accept a mat4x3 as 4 columns of 3 (tcnn vec_json) or (3, 4)
+    rows; return (3, 4) row-major."""
+    a = np.asarray(v, np.float32)
+    if a.shape == (4, 3):
+        return a.T.copy()
+    if a.shape == (3, 4):
+        return a.copy()
+    raise ValueError(f"unrecognized xform shape {a.shape}")
+
+
+def dataset_to_json(ds) -> dict:
+    """NerfDataset → the reference snapshot schema
+    (json_binding.h:112-137 to_json(NerfDataset))."""
+    n = int(ds.n_images)
+    w, h = int(ds.resolution[0]), int(ds.resolution[1])
+    lens = lens_to_json(ds.lens_mode, ds.lens_params)
+    metadata = []
+    xforms = []
+    for i in range(n):
+        metadata.append({
+            "focal_length": np.asarray(ds.focal_lengths[i], np.float32).tolist(),
+            "lens": lens,
+            "principal_point": np.asarray(
+                ds.principal_points[i], np.float32).tolist(),
+            "rolling_shutter": np.asarray(
+                ds.rolling_shutter[i], np.float32).tolist(),
+            "resolution": [w, h],
+        })
+        xforms.append({
+            "start": _mat_cols(ds.xforms_start[i]),
+            "end": _mat_cols(ds.xforms_end[i]),
+        })
+    if ds.render_aabb is not None:
+        ra = {"min": np.asarray(ds.render_aabb[0], np.float32).tolist(),
+              "max": np.asarray(ds.render_aabb[1], np.float32).tolist()}
+    else:
+        ra = {"min": [0.0, 0.0, 0.0], "max": [1.0, 1.0, 1.0]}
+    return {
+        "n_images": n,
+        "paths": [str(p) for p in ds.paths] or [""] * n,
+        "metadata": metadata,
+        "xforms": xforms,
+        "render_aabb": ra,
+        "render_aabb_to_local": np.eye(3, dtype=np.float32).tolist(),
+        "up": np.asarray(ds.up, np.float32).tolist(),
+        "offset": np.asarray(ds.offset, np.float32).tolist(),
+        "envmap_resolution": [0, 0],
+        "scale": float(ds.scale),
+        "aabb_scale": int(ds.aabb_scale),
+        "from_mitsuba": bool(ds.from_mitsuba),
+        "is_hdr": bool(ds.is_hdr),
+        "wants_importance_sampling": True,
+        "n_extra_learnable_dims": int(ds.n_extra_learnable_dims),
+    }
+
+
+def dataset_from_json(block: dict):
+    """Reference snapshot dataset block → NerfDataset (zero images —
+    the reference's create_empty_nerf_dataset + json_binding
+    from_json(NerfDataset), json_binding.h:139-188). Handles both the
+    per-image `metadata` array and the global-default fields."""
+    from .io.nerf_loader import NerfDataset
+
+    n = int(block["n_images"])
+    # global defaults (from_json reads these first)
+    g_focal = block.get("focal_length")
+    g_pp = block.get("principal_point", [0.5, 0.5])
+    g_rs = block.get("rolling_shutter", [0, 0, 0, 0])
+    g_res = block.get("image_resolution")
+    g_lens = block.get("lens", block.get("camera_distortion"))
+
+    focals = np.zeros((n, 2), np.float32)
+    pps = np.zeros((n, 2), np.float32)
+    rss = np.zeros((n, 4), np.float32)
+    res = None
+    lens_j = g_lens
+    metadata = block.get("metadata")
+    for i in range(n):
+        mi = metadata[i] if metadata else {}
+        focals[i] = np.asarray(mi.get("focal_length", g_focal or [0.0, 0.0]))[:2]
+        pps[i] = np.asarray(mi.get("principal_point", g_pp))[:2]
+        rss[i] = np.asarray(mi.get("rolling_shutter", g_rs))[:4]
+        if res is None:
+            res = mi.get("resolution", g_res)
+        if lens_j is None:
+            lens_j = mi.get("lens", mi.get("camera_distortion"))
+    w, h = (int(res[0]), int(res[1])) if res is not None else (0, 0)
+
+    xforms_start = np.zeros((n, 3, 4), np.float32)
+    xforms_end = np.zeros((n, 3, 4), np.float32)
+    for i, xf in enumerate(block["xforms"]):
+        if isinstance(xf, dict):
+            xforms_start[i] = _mat_from_json(xf["start"])
+            xforms_end[i] = _mat_from_json(xf["end"])
+        else:  # bare matrix
+            xforms_start[i] = xforms_end[i] = _mat_from_json(xf)
+
+    lens_mode, lens_params = lens_from_json(lens_j or {})
+    ra = block.get("render_aabb")
+    render_aabb = None
+    if isinstance(ra, dict):
+        render_aabb = np.asarray([ra["min"], ra["max"]], np.float32)
+    return NerfDataset(
+        images=np.zeros((n, h, w, 4), np.uint8),
+        is_hdr=bool(block.get("is_hdr", False)),
+        xforms_start=xforms_start,
+        xforms_end=xforms_end,
+        focal_lengths=focals,
+        principal_points=pps,
+        rolling_shutter=rss,
+        resolution=(w, h),
+        aabb_scale=int(block.get("aabb_scale", 1)),
+        scale=float(block.get("scale", 0.33)),
+        offset=np.asarray(block.get("offset", [0.5, 0.5, 0.5]), np.float32),
+        lens_params=lens_params,
+        lens_mode=lens_mode,
+        n_extra_learnable_dims=int(block.get("n_extra_learnable_dims", 0)),
+        from_mitsuba=bool(block.get("from_mitsuba", False)),
+        up=np.asarray(block.get("up", [0.0, 0.0, 1.0]), np.float32),
+        render_aabb=render_aabb,
+        paths=tuple(block.get("paths", ())),
+    )
+
+
 def save_snapshot(
     path,
     network_config: dict,

@@ -17,7 +17,14 @@ from typing import Optional
 
 import numpy as np
 
-from .common import NERF_CASCADES, TestbedMode, linear_to_srgb, srgb_to_linear
+from .common import (
+    NERF_CASCADES,
+    ColorSpace,
+    TestbedMode,
+    TonemapCurve,
+    linear_to_srgb,
+    srgb_to_linear,
+)
 from .config import default_config, load_network_config
 from . import snapshot as snapshot_io
 
@@ -52,6 +59,167 @@ class Ema:
         return self.value
 
 
+class _ImageMetadata:
+    """Per-image view of dataset metadata (pyngp's
+    TrainingImageMetadata binding; python_api.cu dataset.metadata)."""
+
+    def __init__(self, ds, i):
+        if getattr(ds, "per_image_resolution", None) is not None:
+            self.resolution = tuple(int(v) for v in ds.per_image_resolution[i])
+        else:
+            self.resolution = tuple(int(v) for v in ds.resolution)
+        self.focal_length = tuple(float(v) for v in ds.focal_lengths[i])
+        self.principal_point = tuple(float(v) for v in ds.principal_points[i])
+
+
+class _DatasetView:
+    """pyngp testbed.nerf.training.dataset (python_api.cu:880-930)."""
+
+    def __init__(self, tb):
+        self._tb = tb
+
+    @property
+    def _ds(self):
+        return self._tb.nerf_dataset
+
+    @property
+    def n_images(self) -> int:
+        return int(self._ds.n_images)
+
+    @property
+    def metadata(self):
+        return [_ImageMetadata(self._ds, i) for i in range(self._ds.n_images)]
+
+    @property
+    def paths(self):
+        return list(getattr(self._ds, "paths", []))
+
+
+class _NerfTrainingView:
+    """pyngp testbed.nerf.training.* (python_api.cu Testbed::Nerf::
+    Training bindings). Settings made before a scene is loaded are
+    queued and applied when the task is built."""
+
+    def __init__(self, tb):
+        object.__setattr__(self, "_tb", tb)
+
+    @property
+    def dataset(self):
+        return _DatasetView(self._tb)
+
+    def _task(self):
+        return self._tb.task
+
+    @property
+    def near_distance(self):
+        t = self._task()
+        return t.training_near_distance if t else self._tb._nerf_pending.get(
+            "near_distance", 0.1)
+
+    @near_distance.setter
+    def near_distance(self, v):
+        t = self._task()
+        if t is not None:
+            t.training_near_distance = float(v)
+        else:
+            self._tb._nerf_pending["near_distance"] = float(v)
+
+    @property
+    def random_bg_color(self):
+        t = self._task()
+        return t.random_bg_color if t else self._tb._nerf_pending.get(
+            "random_bg_color", True)
+
+    @random_bg_color.setter
+    def random_bg_color(self, v):
+        t = self._task()
+        if t is not None:
+            t.random_bg_color = bool(v)
+        else:
+            self._tb._nerf_pending["random_bg_color"] = bool(v)
+
+    @property
+    def train_mode(self):
+        from .common import TrainMode
+
+        t = self._task()
+        mode = t.train_mode if t else self._tb._nerf_pending.get("train_mode", "nerf")
+        return TrainMode(mode)
+
+    @train_mode.setter
+    def train_mode(self, v):
+        from .common import TrainMode
+
+        val = TrainMode(v).value
+        t = self._task()
+        if t is not None:
+            t.train_mode = val
+        else:
+            self._tb._nerf_pending["train_mode"] = val
+
+    @property
+    def n_images_for_training(self):
+        return self.dataset.n_images
+
+
+class _NerfView:
+    """pyngp testbed.nerf.* (python_api.cu:520-620)."""
+
+    def __init__(self, tb):
+        object.__setattr__(self, "_tb", tb)
+        object.__setattr__(self, "training", _NerfTrainingView(tb))
+
+    @property
+    def render_min_transmittance(self):
+        return self._tb.nerf_min_transmittance
+
+    @render_min_transmittance.setter
+    def render_min_transmittance(self, v):
+        self._tb.nerf_min_transmittance = float(v)
+
+    @property
+    def sharpen(self):
+        return getattr(self._tb, "_nerf_sharpen", 0.0)
+
+    @sharpen.setter
+    def sharpen(self, v):
+        self._tb._nerf_sharpen = float(v)
+
+    @property
+    def cone_angle_constant(self):
+        t = self._tb.task
+        if t is not None:
+            return t.march_cfg.cone_angle
+        return self._tb._nerf_pending.get("cone_angle_constant", 1.0 / 256.0)
+
+    @cone_angle_constant.setter
+    def cone_angle_constant(self, v):
+        import dataclasses as dc
+
+        t = self._tb.task
+        if t is not None:
+            t.cone_angle = float(v)
+            t.march_cfg = dc.replace(t.march_cfg, cone_angle=float(v))
+            t.rebuild_jit_programs()
+        else:
+            self._tb._nerf_pending["cone_angle_constant"] = float(v)
+
+
+def _unsharp(frame: np.ndarray, amount: float) -> np.ndarray:
+    """3×3 unsharp mask on the rgb channels (reference `sharpen`
+    post-process in the tonemap stage, render_buffer.cu)."""
+    rgb = frame[..., :3]
+    pad = np.pad(rgb, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    blur = (
+        pad[:-2, :-2] + pad[:-2, 1:-1] + pad[:-2, 2:]
+        + pad[1:-1, :-2] + pad[1:-1, 1:-1] + pad[1:-1, 2:]
+        + pad[2:, :-2] + pad[2:, 1:-1] + pad[2:, 2:]
+    ) / 9.0
+    out = np.array(frame, copy=True)
+    out[..., :3] = rgb + amount * (rgb - blur)
+    return out
+
+
 class Testbed:
     def __init__(self, mode: TestbedMode | str = TestbedMode.NONE):
         if isinstance(mode, str):
@@ -77,6 +245,20 @@ class Testbed:
         )
         self.scale = 1.5
         self.loss_graph: list[float] = []
+
+        # pyngp binding surface (python_api.cu:439-870): fields the
+        # reference scripts/run.py drives verbatim
+        self.render_ground_truth = False
+        self.color_space = ColorSpace.SRGB
+        self.tonemap_curve = TonemapCurve.IDENTITY
+        self.exposure = 0.0
+        self.fov_axis = 1
+        self.camera_smoothing = False
+        self.render_with_lens_distortion = True
+        self.root_dir = str(Path(__file__).resolve().parents[1])
+        self._nerf_pending: dict = {}
+        self.nerf = _NerfView(self)
+        self._view_index: Optional[int] = None
 
         # timing meters (reference testbed.h:1023-1027)
         self.training_prep_ms = Ema()
@@ -148,6 +330,20 @@ class Testbed:
             )
             # default view: first training camera
             self.camera_matrix = self.nerf_dataset.xforms_start[0].copy()
+            # settings queued on the pyngp nerf.* views before a scene
+            # was loaded
+            pend = self._nerf_pending
+            if "near_distance" in pend:
+                self.task.training_near_distance = pend["near_distance"]
+            if "random_bg_color" in pend:
+                self.task.random_bg_color = pend["random_bg_color"]
+            if "train_mode" in pend:
+                self.task.train_mode = pend["train_mode"]
+            if "cone_angle_constant" in pend:
+                self.task.cone_angle = pend["cone_angle_constant"]
+                self.task.march_cfg = dataclasses.replace(
+                    self.task.march_cfg, cone_angle=pend["cone_angle_constant"])
+                self.task.rebuild_jit_programs()
         elif mode == TestbedMode.SDF:
             from .sdf.task import SdfTask
 
@@ -194,10 +390,29 @@ class Testbed:
         height: int,
         spp: int = 1,
         linear: bool = True,
+        start_t: float = -1.0,
+        end_t: float = -1.0,
+        fps: float = 30.0,
+        shutter_fraction: float = 0.5,
         camera_matrix: Optional[np.ndarray] = None,
         fov: Optional[float] = None,
     ) -> np.ndarray:
+        """pyngp render_to_cpu signature (python_api.cu:100-170):
+        start_t/end_t in [0,1] sample the loaded camera path (video
+        rendering; shutter_fraction positions the exposure midpoint)."""
         t0 = time.perf_counter()
+        if start_t >= 0.0 and getattr(self, "camera_path", None) is not None:
+            t_eval = start_t + max(end_t - start_t, 0.0) * shutter_fraction
+            kf = self.camera_path.eval(t_eval)
+            target = np.asarray(kf.to_matrix(), np.float32)
+            if self.camera_smoothing and getattr(self, "_smoothed_cam", None) is not None:
+                # EMA toward the path target (reference camera smoothing)
+                target = 0.8 * self._smoothed_cam + 0.2 * target
+            self._smoothed_cam = target
+            self.camera_matrix = target
+            if getattr(kf, "fov", None):
+                self.fov = float(kf.fov)
+            self._view_index = None
         cam = camera_matrix if camera_matrix is not None else self.camera_matrix
 
         def to_space(frame, produced_linear):
@@ -222,7 +437,26 @@ class Testbed:
             frame = np.concatenate([rgb, np.ones((*rgb.shape[:2], 1), np.float32)], -1)
             frame = to_space(frame, produced_linear=bool(self.task.is_hdr))
         elif self.mode == TestbedMode.NERF:
+            if self.render_ground_truth:
+                # pyngp flag: render the training image of the current
+                # view instead of the model (run.py eval protocol)
+                frame = self.render_gt_view(
+                    width, height, self._view_index or 0)
+                frame = to_space(frame, produced_linear=bool(
+                    self.nerf_dataset.is_hdr))
+                self.render_ms.update((time.perf_counter() - t0) * 1000.0)
+                return frame
             self.task.min_transmittance = self.nerf_min_transmittance
+            kw = {}
+            if self._view_index is not None:
+                # camera was set from a training view: use that view's
+                # intrinsics (scaled by fov_axis resolution) and lens
+                ds = self.nerf_dataset
+                i = self._view_index
+                s = ((width, height)[self.fov_axis]
+                     / ds.resolution[self.fov_axis])
+                kw["focal_length"] = tuple(ds.focal_lengths[i] * s)
+                kw["principal_point"] = tuple(ds.principal_points[i])
             frame = self.task.render(
                 width,
                 height,
@@ -230,6 +464,7 @@ class Testbed:
                 fov=fov or self.fov,
                 spp=spp,
                 background=tuple(self.background_color),
+                **kw,
             )
             # LDR scenes train/render in sRGB space, HDR in linear
             # (reference testbed_nerf.cu:2354 rgb activation choice)
@@ -237,6 +472,9 @@ class Testbed:
 
             produced_linear = self.task.rgb_activation == NerfActivation.EXPONENTIAL
             frame = to_space(np.asarray(frame), produced_linear)
+            sharpen = getattr(self, "_nerf_sharpen", 0.0)
+            if sharpen:
+                frame = _unsharp(frame, sharpen)
         elif self.mode in (TestbedMode.SDF, TestbedMode.VOLUME):
             if spp != 1 and not getattr(self, "_spp_warned", False):
                 import warnings
@@ -247,9 +485,25 @@ class Testbed:
                     "pixel centers)")
                 self._spp_warned = True
             frame = self.task.render(width, height, cam, fov=fov or self.fov)
+            if self.tonemap_curve != TonemapCurve.IDENTITY:
+                from .render.buffer import tonemap
+
+                frame = np.array(frame, copy=True)
+                frame[..., :3] = np.asarray(
+                    tonemap(frame[..., :3], self.tonemap_curve))
             frame = to_space(np.asarray(frame), produced_linear=True)
         else:
             raise ValueError(self.mode)
+        if self.exposure:
+            # reference m_exposure: scale linear radiance by 2^exposure
+            # (testbed.cu tonemap stage)
+            frame = np.array(frame, copy=True)
+            if linear:
+                frame[..., :3] *= 2.0 ** self.exposure
+            else:
+                lin = np.asarray(srgb_to_linear(np.clip(frame[..., :3], 0, 1)))
+                frame[..., :3] = np.asarray(
+                    linear_to_srgb(np.clip(lin * 2.0 ** self.exposure, 0, 1)))
         self.render_ms.update((time.perf_counter() - t0) * 1000.0)
         return frame
 
@@ -308,6 +562,7 @@ class Testbed:
         """Set the view camera from a NeRF-convention matrix
         (python_api.cu set_nerf_camera_matrix)."""
         self.camera_matrix = self.nerf_dataset.nerf_matrix_to_ngp(np.asarray(m))
+        self._view_index = None  # free camera: back to fov-derived intrinsics
 
     def look_at(self, target):
         t = np.asarray(target, np.float32)
@@ -382,10 +637,11 @@ class Testbed:
     def rendering_min_transmittance(self, v: float):
         self.nerf_min_transmittance = float(v)
 
-    def render_ground_truth(self, width: int, height: int, view_idx: int) -> np.ndarray:
+    def render_gt_view(self, width: int, height: int, view_idx: int) -> np.ndarray:
         """The training image of a view, resampled to (H, W, 4) in the
         model's color space (reference GT render mode,
-        testbed.cu:5074-5143)."""
+        testbed.cu:5074-5143). pyngp's assignable `render_ground_truth`
+        FLAG routes Testbed.render() through this."""
         from .common import linear_to_srgb, srgb_to_linear
 
         ds = self.nerf_dataset
@@ -407,7 +663,7 @@ class Testbed:
         """|render − ground truth| heat overlay for a training view
         (the reference's error overlay debugging mode)."""
         ds = self.nerf_dataset
-        gt = self.render_ground_truth(width, height, view_idx)
+        gt = self.render_gt_view(width, height, view_idx)
         frame = self.task.render(
             width, height, ds.xforms_start[view_idx],
             focal_length=tuple(ds.focal_lengths[view_idx]
@@ -425,7 +681,7 @@ class Testbed:
     def set_camera_to_training_view(self, i: int):
         ds = self.nerf_dataset
         self.camera_matrix = ds.xforms_start[i].copy()
-        self._view_index = i
+        self._view_index = i  # render() uses this view's intrinsics
 
     def render_progressive(self, width: int, height: int, spp: int = 8, **kw) -> np.ndarray:
         """spp-accumulated render through a RenderBuffer (the reference's
@@ -469,6 +725,59 @@ class Testbed:
         return frame
 
     # ------------------------------------------------------------------
+    # pyngp surface: GUI/VR stubs + tooling entry points
+    # ------------------------------------------------------------------
+    def want_repl(self) -> bool:
+        """pyngp's `want_repl` (GUI hotkey `; `); always False headless."""
+        return False
+
+    def init_window(self, width: int, height: int, second_window: bool = False,
+                    hidden: bool = False):
+        """GUI stub: the TPU build's interactive surface is the web
+        viewer (instant_ngp_tpu.viewer) — no GLFW window exists. Kept
+        as a no-op so reference drivers with --gui don't crash."""
+        import warnings
+
+        warnings.warn(
+            "init_window is a no-op on the TPU build; use "
+            "`python -m instant_ngp_tpu.viewer` for interactive viewing")
+        self._window_res = (int(width), int(height))
+
+    def init_vr(self):
+        """VR stub (OpenXR is vendor hardware; N/A on TPU)."""
+        import warnings
+
+        warnings.warn("init_vr is a no-op on the TPU build (no OpenXR)")
+
+    def destroy_window(self):
+        self._window_res = None
+
+    def load_camera_path(self, path: str):
+        """Load a camera path json (reference CameraPath::load,
+        camera_path.cu; python_api.cu load_camera_path)."""
+        from .render.camera_path import CameraPath
+
+        self.camera_path = CameraPath.load(path)
+        return self.camera_path
+
+    def compute_and_save_marching_cubes_mesh(
+        self, filename: str, resolution=(256, 256, 256), aabb=None,
+        thresh: float = 2.5, generate_uvs_for_exporting_texture: bool = False,
+    ):
+        """pyngp compute_and_save_marching_cubes_mesh
+        (python_api.cu:652-658 → Testbed::compute_and_save_mesh)."""
+        from .geometry.marching_cubes import extract_mesh
+        from .geometry.mesh_io import save_obj, save_ply
+
+        res = int(resolution[0]) if np.ndim(resolution) else int(resolution)
+        verts, faces, colors = extract_mesh(self.task, res=res, iso=thresh)
+        if str(filename).lower().endswith(".ply"):
+            save_ply(filename, verts, faces, colors)
+        else:
+            save_obj(filename, verts, faces, colors)
+        return len(verts)
+
+    # ------------------------------------------------------------------
     # snapshots
     # ------------------------------------------------------------------
     def save_snapshot(self, path: str, include_optimizer_state: bool = False):
@@ -487,17 +796,9 @@ class Testbed:
             nerf_extra = {
                 "aabb_scale": ds.aabb_scale,
                 "rgb": {"rays_per_batch": task.n_rays_per_batch},
-                "dataset": {
-                    "n_images": int(ds.n_images),
-                    "resolution": list(ds.resolution),
-                    "scale": float(ds.scale),
-                    "offset": np.asarray(ds.offset, np.float32).tolist(),
-                    "is_hdr": bool(ds.is_hdr),
-                    "xforms": np.asarray(ds.xforms_start, np.float32).tobytes(),
-                    "focals": np.asarray(ds.focal_lengths, np.float32).tobytes(),
-                    "principals": np.asarray(
-                        ds.principal_points, np.float32).tobytes(),
-                },
+                # full reference schema (json_binding.h:112-137) so a
+                # reference build can read our snapshots' dataset block
+                "dataset": snapshot_io.dataset_to_json(ds),
             }
             params = task.state.params
             step = task.training_step
@@ -526,10 +827,18 @@ class Testbed:
     def _empty_nerf_dataset_from_snapshot(self, snap: dict):
         """Reconstruct a render-ready dataset from the snapshot's
         dataset block (the reference's create_empty_nerf_dataset,
-        nerf_loader.cu:154-170): zero images, real cameras."""
+        nerf_loader.cu:154-170): zero images, real cameras. Reads the
+        reference json_binding schema (json_binding.h:139-188); falls
+        back to the round-2 private block for old files."""
         from .io.nerf_loader import NerfDataset
 
         block = snap["nerf"]["dataset"]
+        if "xforms" in block and not isinstance(block["xforms"], (bytes, bytearray)):
+            ds = snapshot_io.dataset_from_json(block)
+            if "aabb_scale" not in block and "aabb_scale" in snap["nerf"]:
+                ds.aabb_scale = int(snap["nerf"]["aabb_scale"])
+            return ds
+        # legacy (round-2) private block
         n = int(block["n_images"])
         w, h = block["resolution"]
         xforms = np.frombuffer(block["xforms"], np.float32).reshape(n, 3, 4).copy()

@@ -9,7 +9,11 @@ Parity with testbed_volume.cu (SURVEY.md §2.6):
   * defaults albedo=0.95, scattering=0, distance_scale=1/100
     (testbed.h:980-982)
   * L2 loss on 4-dim output
-  * rendering: transmittance marching of the learned field
+  * rendering: transmittance (delta) tracking of the learned field
+    through the GT bitgrid with the procedural sun/sky background
+    (volume_render_kernel_step :376-438), plus a ground-truth render
+    mode that path-traces the GT grid with scattering/absorption
+    (volume_render_kernel_gt :300-375)
 
 TPU recast: the per-thread event loop becomes a fixed-128-iteration
 lax.scan over all paths in lockstep with masked vertex recording — the
@@ -111,6 +115,7 @@ class VolumeTask:
 
         self._jit_step = jax.jit(self._step)
         self._jit_render = jax.jit(self._render_rays)
+        self._jit_render_gt = jax.jit(self._render_rays_gt)
 
     # ------------------------------------------------------------------
     def _grid_density_at(self, pos, grid=None):
@@ -295,38 +300,107 @@ class VolumeTask:
     def inference_params(self):
         return self.opt.inference_params(self.opt_state, self.params)
 
-    def _render_rays(self, params, o, d, n_steps=256):
-        """Emission-absorption marching of the learned field."""
+    def _render_rays(self, params, o, d, key, n_iters=192):
+        """Learned-model render with transmittance (delta) tracking —
+        parity with volume_render_kernel_step (testbed_volume.cu:
+        376-438): exponential free-flight jumps through the GT
+        bitgrid; at each event inside an occupied cell the network's
+        (rgb, σ) contributes alpha = min(σ/majorant, 1)·T; rays finish
+        at opacity 0.99 or escape, then composite the procedural
+        sun/sky envmap (proc_envmap_render). The reference's unbounded
+        walk_to_next_event loop is unrolled into the same lockstep
+        iteration budget (empty jumps just don't deposit)."""
         from ..ops.raymarch import ray_intersect_aabb
 
+        R = o.shape[0]
         aabb_min = jnp.asarray(self.aabb_min)
         aabb_max = jnp.asarray(self.aabb_max)
         tmin, tmax = ray_intersect_aabb(o, d, aabb_min, aabb_max)
-        dt = (tmax - tmin) / n_steps
+        hit = tmax > tmin
+        pos0 = o + tmin[:, None] * d
+        scale = self.distance_scale / self.global_majorant
 
         def body(i, carry):
-            rgb, T = carry
-            t = tmin + (i + 0.5) * dt
-            pos = o + t[:, None] * d
+            pos, rgb, col_a, alive, krng = carry
+            krng, k1 = jax.random.split(krng)
+            u = jax.random.uniform(k1, (R,), minval=1e-7, maxval=1.0)
+            dt = -jnp.log(u) * scale
+            pos = jnp.where(alive[:, None], pos + dt[:, None] * d, pos)
+            inside = jnp.all((pos >= aabb_min) & (pos <= aabb_max), axis=-1)
+            occ = self._bitgrid_at(pos)
+            event = alive & inside & occ
             out = self.model(params, pos).astype(jnp.float32)
-            sigma = jnp.maximum(out[:, 3], 0.0) * self.distance_scale * 100.0
-            col = jnp.maximum(out[:, :3], 0.0)
-            alpha = 1.0 - jnp.exp(-sigma * dt)
-            rgb = rgb + (T * alpha)[:, None] * col
-            T = T * (1.0 - alpha)
-            return (rgb, T)
+            extinction = jnp.minimum(
+                jnp.maximum(out[:, 3], 0.0) / self.global_majorant, 1.0)
+            alpha = jnp.where(event, extinction * (1.0 - col_a), 0.0)
+            rgb = rgb + alpha[:, None] * jnp.maximum(out[:, :3], 0.0)
+            col_a = col_a + alpha
+            alive = alive & inside & (col_a <= 0.99)
+            return (pos, rgb, col_a, alive, krng)
 
-        rgb, T = jax.lax.fori_loop(
-            0, n_steps, body, (jnp.zeros_like(o), jnp.ones(o.shape[0]))
+        pos, rgb, col_a, alive, _ = jax.lax.fori_loop(
+            0, n_iters, body,
+            (pos0, jnp.zeros_like(o), jnp.zeros(R), hit, key),
         )
         bg = proc_envmap(
             d, jnp.asarray(self.up_dir), jnp.asarray(self.sun_dir),
             jnp.asarray(self.sky_col),
         )
-        rgb = rgb + T[:, None] * bg
-        return rgb, 1.0 - T
+        rgb = rgb + (1.0 - col_a)[:, None] * bg
+        return rgb, col_a
 
-    def render(self, width: int, height: int, camera_matrix, fov: float = 50.0):
+    def _render_rays_gt(self, o, d, grid, key, n_iters=256):
+        """Ground-truth render: Woodcock path tracing through the GT
+        grid with scattering/absorption events — parity with
+        volume_render_kernel_gt (testbed_volume.cu:300-375)."""
+        from ..ops.raymarch import ray_intersect_aabb
+
+        R = o.shape[0]
+        aabb_min = jnp.asarray(self.aabb_min)
+        aabb_max = jnp.asarray(self.aabb_max)
+        tmin, tmax = ray_intersect_aabb(o, d, aabb_min, aabb_max)
+        hit = tmax > tmin
+        pos0 = o + tmin[:, None] * d
+        scale = self.distance_scale / self.global_majorant
+
+        def body(i, carry):
+            pos, dirs, alive, absorbed, scattered, krng = carry
+            krng, k1, k2, k3 = jax.random.split(krng, 4)
+            u = jax.random.uniform(k1, (R,), minval=1e-7, maxval=1.0)
+            dt = -jnp.log(u) * scale
+            pos = jnp.where(alive[:, None], pos + dt[:, None] * dirs, pos)
+            inside = jnp.all((pos >= aabb_min) & (pos <= aabb_max), axis=-1)
+            occ = self._bitgrid_at(pos)
+            event = alive & inside & occ
+            dens = self._grid_density_at(pos, grid)
+            extinction = dens / self.global_majorant
+            z2 = jax.random.uniform(k2, (R,))
+            do_scatter = event & (z2 < extinction * self.albedo)
+            do_absorb = event & ~do_scatter & (z2 < extinction)
+            rnd = jax.random.normal(k3, (R, 3))
+            new_d = dirs * self.scattering + rnd
+            new_d = new_d / jnp.maximum(
+                jnp.linalg.norm(new_d, axis=-1, keepdims=True), 1e-9)
+            dirs = jnp.where(do_scatter[:, None], new_d, dirs)
+            scattered = scattered | do_scatter
+            absorbed = absorbed | do_absorb
+            alive = alive & inside & ~absorbed
+            return (pos, dirs, alive, absorbed, scattered, krng)
+
+        pos, dirs, alive, absorbed, scattered, _ = jax.lax.fori_loop(
+            0, n_iters, body,
+            (pos0, d, hit, jnp.zeros(R, bool), jnp.zeros(R, bool), key),
+        )
+        env = proc_envmap(
+            dirs, jnp.asarray(self.up_dir), jnp.asarray(self.sun_dir),
+            jnp.asarray(self.sky_col),
+        )
+        rgb = jnp.where(absorbed[:, None], 0.0, env)
+        alpha = jnp.where(absorbed | scattered, 1.0, 0.0)
+        return rgb, alpha
+
+    def render(self, width: int, height: int, camera_matrix, fov: float = 50.0,
+               ground_truth: bool = False):
         cam = np.asarray(camera_matrix, np.float32)
         fl = 0.5 * height / math.tan(0.5 * math.radians(fov))
         ys, xs = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
@@ -336,10 +410,18 @@ class VolumeTask:
         d = dirs @ cam[:, :3].T
         d /= np.linalg.norm(d, axis=-1, keepdims=True)
         o = np.broadcast_to(cam[:, 3], d.shape)
-        params = self.inference_params
-        rgb, alpha = self._jit_render(
-            params, jnp.asarray(o.reshape(-1, 3)), jnp.asarray(d.reshape(-1, 3))
-        )
+        self._key, sub = jax.random.split(self._key)
+        if ground_truth:
+            rgb, alpha = self._jit_render_gt(
+                jnp.asarray(o.reshape(-1, 3)), jnp.asarray(d.reshape(-1, 3)),
+                self.density_grid, sub,
+            )
+        else:
+            params = self.inference_params
+            rgb, alpha = self._jit_render(
+                params, jnp.asarray(o.reshape(-1, 3)),
+                jnp.asarray(d.reshape(-1, 3)), sub,
+            )
         return np.concatenate(
             [np.asarray(rgb), np.asarray(alpha)[:, None]], -1
         ).reshape(height, width, 4)

@@ -136,3 +136,37 @@ class TestDepositPurity:
         np.testing.assert_allclose(
             np.asarray(t0.state.error_map), np.asarray(t1.state.error_map),
             rtol=1e-4, atol=1e-7)
+
+
+class TestMixedResolution:
+    def test_mixed_res_dataset_loads_and_trains(self, tmp_path):
+        import imageio.v2 as imageio
+        import json as _json
+
+        from instant_ngp_tpu.io.nerf_loader import load_nerf
+        from instant_ngp_tpu.nerf.task import NerfTask
+        import __graft_entry__ as g
+
+        rng = np.random.default_rng(0)
+        frames = []
+        for i, (w, h) in enumerate([(24, 16), (16, 24)]):
+            img = rng.integers(0, 255, (h, w, 4), dtype=np.uint8)
+            imageio.imwrite(tmp_path / f"im{i}.png", img)
+            frames.append({
+                "file_path": f"im{i}.png",
+                "transform_matrix": np.eye(4)[:4].tolist(),
+            })
+        meta = {"camera_angle_x": 0.9, "aabb_scale": 1, "frames": frames}
+        (tmp_path / "transforms.json").write_text(_json.dumps(meta))
+        ds = load_nerf(tmp_path)
+        assert ds.per_image_resolution is not None
+        np.testing.assert_array_equal(ds.per_image_resolution,
+                                      [[24, 16], [16, 24]])
+        assert ds.resolution == (24, 24)  # max canvas
+        assert ds.images.shape == (2, 24, 24, 4)
+        # per-image focal from camera_angle_x at each image's own width
+        assert ds.focal_lengths[0, 0] != ds.focal_lengths[1, 0]
+        task = NerfTask(ds, g._tiny_nerf_config(), n_rays_per_batch=64,
+                        max_samples_per_ray=4, n_march_iters=8)
+        loss = task.train(2)
+        assert np.isfinite(loss)

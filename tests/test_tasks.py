@@ -213,3 +213,36 @@ class TestTakikawa:
         task.train(20)
         l1 = task.train(2)
         assert np.isfinite(l1)
+
+
+class TestVolumeRenderParity:
+    def _task(self):
+        from instant_ngp_tpu.volume.task import VolumeTask
+
+        # small procedural blob grid
+        x = np.linspace(-1, 1, 24)
+        gx, gy, gz = np.meshgrid(x, x, x, indexing="ij")
+        dens = np.maximum(0.0, 1.0 - 2 * (gx**2 + gy**2 + gz**2)).astype(np.float32)
+        return VolumeTask(dens, tiny_config(levels=4, log2=10), batch_size=2048)
+
+    def test_gt_render_modes(self):
+        task = self._task()
+        cam = np.concatenate([np.eye(3, dtype=np.float32),
+                              np.array([[0.5], [0.5], [-1.2]], np.float32)], 1)
+        gt = task.render(24, 24, cam, ground_truth=True)
+        assert gt.shape == (24, 24, 4)
+        assert np.isfinite(gt).all()
+        # center rays pass through density → some absorb/scatter events
+        assert gt[8:16, 8:16, 3].mean() > 0.05
+
+    def test_learned_render_delta_tracked(self):
+        task = self._task()
+        task.train(30)
+        cam = np.concatenate([np.eye(3, dtype=np.float32),
+                              np.array([[0.5], [0.5], [-1.2]], np.float32)], 1)
+        img = task.render(16, 16, cam)
+        assert img.shape == (16, 16, 4)
+        assert np.isfinite(img).all()
+        # opacity concentrated at the blob (center > corners)
+        a = img[..., 3]
+        assert a[6:10, 6:10].mean() > a[:2, :2].mean()
