@@ -38,6 +38,10 @@ def bench_fox():
 
     ds = load_nerf(FOX)
     cfg = load_network_config("base.json", mode="nerf")
+    # TPU flagship: 4-corner simplex interpolation on hashed levels —
+    # half the gather rows of trilinear for ~0.15 dB/step
+    # (scripts/ab_simplex.py; docs/ROUND3_NOTES.md)
+    cfg.setdefault("encoding", {})["interpolation"] = "Simplex"
     task = NerfTask(ds, cfg, n_rays_per_batch=1 << 12, max_samples_per_ray=32,
                     n_march_iters=192)
 

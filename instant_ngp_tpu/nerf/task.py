@@ -332,6 +332,9 @@ class NerfTask:
         # per-round march iteration budget for rendering (see
         # _march_window); more rounds but far less lockstep waste
         self.render_march_iters = 64
+        # density-grid update cadence (reference
+        # n_training_steps_between_grid_updates = 16)
+        self.grid_update_interval = 16
         # render sample-window size per round: SMALL on purpose (the
         # reference marches 1-8 steps between compactions,
         # testbed_nerf.cu:1755-1760) — with a K=32 window a whole
@@ -942,6 +945,13 @@ class NerfTask:
         aabb_min = jnp.asarray(self.aabb_min)
         aabb_size = jnp.asarray(self.aabb_max - self.aabb_min)
 
+        # NB round-3: probes must use the model's own interpolation —
+        # a nearest-corner "cheap probe" was tried (1 row/level) and
+        # COLLAPSED training: each level snaps to a different spatial
+        # corner, so the MLP sees feature mixtures from different
+        # points and returns garbage density; the grid emptied within
+        # ~200 steps. The probe-cost fix is COUNT (see occupancy
+        # update), not per-probe rows.
         def density_fn(pos_world):
             pos_w = (pos_world - aabb_min) / aabb_size
             return self.model.density(params, pos_w)[:, 0]
@@ -966,7 +976,7 @@ class NerfTask:
         loss = None
         stats = None
         for _ in range(n_steps):
-            if self.training_step % 16 == 0:
+            if self.training_step % self.grid_update_interval == 0:
                 self._key, sub = jax.random.split(self._key)
                 self.state = self._jit_update_grid(
                     self.state, sub, jnp.int32(self.training_step),
@@ -1425,6 +1435,36 @@ class NerfTask:
                     feats = self.model.pos_encoding(
                         params.get("pos_enc"), jnp.clip(pw, 0.0, 1.0))
                     rgb = jnp.clip(jnp.abs(feats[:, :3]) * 10.0, 0.0, 1.0)
+                elif render_mode == "distortion":
+                    # trained lens-distortion field magnitude at uv
+                    # (reference ERenderMode::Distortion colors the
+                    # distortion map, testbed.cu render modes)
+                    if "distortion" in self.state.cam:
+                        from ..image_fit.task import bilinear_read
+
+                        off = np.asarray(bilinear_read(
+                            self.state.cam["distortion"], uv_c))
+                    else:
+                        off = np.zeros((uv_c.shape[0], 2), np.float32)
+                    mag = np.linalg.norm(off, axis=-1)
+                    rgb = jnp.asarray(np.stack([
+                        np.clip(off[:, 0] * 50 + 0.5, 0, 1),
+                        np.clip(off[:, 1] * 50 + 0.5, 0, 1),
+                        np.clip(mag * 100, 0, 1)], -1))
+                elif render_mode == "slice":
+                    # density slice on the view-orthogonal plane at the
+                    # focus distance (reference ERenderMode::Slice /
+                    # m_slice_plane_z)
+                    pos = np.asarray(o) + float(self.focus_z) * np.asarray(d)
+                    pw = (jnp.asarray(pos) - jnp.asarray(self.aabb_min)) / (
+                        jnp.asarray(self.aabb_max) - jnp.asarray(self.aabb_min))
+                    logit = self.model.density(
+                        params, jnp.clip(pw, 0.0, 1.0))[:, 0].astype(jnp.float32)
+                    dens = network_to_density(logit, self.density_activation)
+                    heat = jnp.clip(jnp.log1p(dens) / 6.0, 0.0, 1.0)
+                    inb = jnp.all((pw >= 0) & (pw <= 1), axis=-1)
+                    heat = jnp.where(inb, heat, 0.0)
+                    rgb = jnp.stack([heat, heat * 0.5, 1.0 - heat], -1)
                 rgbs.append(np.asarray(rgb))
                 alphas.append(np.asarray(alpha))
                 depths.append(np.asarray(depth))

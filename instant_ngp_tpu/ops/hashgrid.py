@@ -192,7 +192,13 @@ def _simplex_corners(op: _LevelOp, grid, t):
 
 def _level_corners(op: _LevelOp, grid, t):
     """Dispatch: (idx (C,N), w (C,N), aux) for this level's
-    interpolation. aux is the simplex rank-mask pair or None."""
+    interpolation. aux is the simplex rank-mask pair or None.
+    nearest gathers its SINGLE corner (t is already round(frac), so
+    the one-hot corner is t itself) — 1 row/level instead of 2^D."""
+    if op.interpolation == "nearest":
+        bits = [t[:, d].astype(jnp.int32) for d in range(op.n_dims)]
+        idx = _corner_index(op, grid, bits)[None]
+        return idx, jnp.ones_like(t[:, :1].T), None
     if _uses_simplex(op):
         return _simplex_corners(op, grid, t)
     idx, w = _all_corners(op, grid, t)

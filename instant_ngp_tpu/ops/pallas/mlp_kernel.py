@@ -13,10 +13,15 @@ enable it without a hand-written backward kernel.
 Measured reality check (v5e): correctness-validated against the
 reference forward (0 error), but this naive 512-row tiling underuses
 the MXU (414 ms vs ~3 ms unfused XLA at 131k rows) — the per-grid-step
-launch overhead dominates at these tiny widths. It is wired in behind
-`MLP(..., use_pallas=True)` (default off) as the scaffolding for the
-round-2 fused march+gather+MLP megakernel, where amortizing the
-hash-grid gathers — not the matmuls — is the prize.
+launch overhead dominates at these tiny widths. It stays default-off
+(`MLP(..., use_pallas=True)` opt-in) as an EXPERIMENT, not a hot-path
+component: the framework's hot loops are deliberately XLA, because the
+actual bottleneck is the hash-table gather (~7 ns/row) and this
+toolchain's Mosaic lowers no usable vectorized gather —
+`tpu.dynamic_gather` fails to compile beyond one 8-sublane vreg
+(scripts/bench_dyngather.py), so a fused march+gather+MLP megakernel
+cannot currently beat XLA's gather on TPU. See ARCHITECTURE.md "Why
+the hot loops are XLA, not Pallas".
 """
 
 from __future__ import annotations

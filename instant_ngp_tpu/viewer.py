@@ -93,12 +93,19 @@ def orbit_matrix(theta: float, phi: float, radius: float,
 
 
 class ViewerServer:
-    def __init__(self, testbed, port: int = 8000, train: bool = False):
+    def __init__(self, testbed, port: int = 8000, train: bool = False,
+                 predict_camera: bool = False):
         self.testbed = testbed
         self.port = port
         self.train = train
         self._lock = threading.Lock()
         self._stop = False
+        self.camera_predictor = None
+        if predict_camera:
+            from .render.camera_predictor import MatLogCameraPredictor
+
+            self.camera_predictor = MatLogCameraPredictor(
+                is_quadratic=False, is_se3=True, half_life_s=0.25)
 
     def _train_loop(self):
         while not self._stop:
@@ -110,6 +117,19 @@ class ViewerServer:
         from PIL import Image
 
         cam = orbit_matrix(theta, phi, radius)
+        # latency compensation: feed observed poses to the camera
+        # predictor and render where the camera WILL be when the async
+        # render lands (reference MatLogCameraPredictor, used for VR
+        # head poses; here for the streamed orbit camera)
+        if getattr(self, "camera_predictor", None) is not None:
+            now = time.perf_counter()
+            last = getattr(self, "_last_pose_t", None)
+            self.camera_predictor.sample_camera(
+                cam, (now - last) if last else 1 / 30)
+            self._last_pose_t = now
+            lat = self.testbed.render_ms.val() / 1000.0
+            cam = np.asarray(
+                self.camera_predictor.predict_camera(lat), np.float32)
         with self._lock:
             frame = self.testbed.render(w, h, camera_matrix=cam)
         rgb = np.clip(np.asarray(frame)[..., :3], 0, 1)

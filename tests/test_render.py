@@ -173,3 +173,26 @@ class TestMeshOptimizer:
         v2 = optimise_mesh(task, verts, faces, n_steps=5, thresh=2.5)
         assert np.isfinite(v2).all()
         assert iso_err(v2) < 0.85 * iso_err(verts)
+
+
+class TestNewRenderModes:
+    def _task(self):
+        import __graft_entry__ as g
+        from instant_ngp_tpu.nerf.task import NerfTask
+
+        ds = g._synthetic_dataset(n_images=2, w=16, h=16)
+        task = NerfTask(ds, g._tiny_nerf_config(), n_rays_per_batch=64,
+                        max_samples_per_ray=4, n_march_iters=8,
+                        optimize_distortion=True)
+        task.train(2)
+        return task, ds
+
+    def test_distortion_and_slice_modes(self):
+        import numpy as np
+
+        task, ds = self._task()
+        for mode in ("distortion", "slice"):
+            frame = task.render(8, 8, ds.xforms_start[0],
+                                focal_length=(20.0, 20.0), render_mode=mode)
+            assert frame.shape == (8, 8, 4)
+            assert np.isfinite(frame).all()

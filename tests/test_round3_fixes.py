@@ -170,3 +170,19 @@ class TestMixedResolution:
                         max_samples_per_ray=4, n_march_iters=8)
         loss = task.train(2)
         assert np.isfinite(loss)
+
+
+class TestCompileCacheConfigured:
+    def test_jaxcache_configures_persistent_cache(self):
+        """Compile-time fragility is managed via the persistent XLA
+        compilation cache; verify the knobs _jaxcache sets are active
+        in this process-wide config (bench.py and all TPU scripts
+        import it)."""
+        import importlib
+        import jax
+
+        import _jaxcache  # noqa: F401
+
+        importlib.reload(_jaxcache)
+        assert jax.config.jax_compilation_cache_dir == "/root/repo/.jax_cache"
+        assert jax.config.jax_persistent_cache_min_compile_time_secs == 1.0
