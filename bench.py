@@ -94,7 +94,12 @@ def bench_fox():
     print("# warmup: eval render...", file=sys.stderr, flush=True)
     t_ev = time.time()
     _ = eval_psnr()
-    print(f"# warmup eval took {time.time()-t_ev:.1f}s", file=sys.stderr, flush=True)
+    print(f"# warmup eval took {time.time()-t_ev:.1f}s (includes compiles)",
+          file=sys.stderr, flush=True)
+    t_ev = time.time()
+    _ = eval_psnr()
+    print(f"# steady-state eval: {time.time()-t_ev:.1f}s for 3 views",
+          file=sys.stderr, flush=True)
 
     # reset to a fresh task for the clean timed run (compiles + the
     # visibility-culling grid are disk-cached at this point)

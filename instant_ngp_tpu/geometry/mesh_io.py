@@ -112,3 +112,94 @@ def save_ply(path, vertices: np.ndarray, faces: np.ndarray, colors=None):
         fo = faces.astype("<i4")
         for i in range(n_f):
             f.write(counts[i].tobytes() + fo[i].tobytes())
+
+
+def save_obj_unwrapped(path, vertices: np.ndarray, faces: np.ndarray,
+                       colors=None, quad_res: int = 8):
+    """OBJ export with a generated per-triangle UV atlas + baked
+    texture (the reference's "unwrap_it" path, marching_cubes.cu:
+    806-930: triangle pairs occupy (quadresy+3)×quadresy texel quads in
+    a ~square grid; faces reference v/vt/vn). The texture bakes the
+    mesh's vertex colors per face (the reference writes a placeholder
+    hash-color texture) so downstream DCC tools see a usable material.
+    """
+    import imageio.v2 as imageio
+
+    path = str(path)
+    vertices = np.asarray(vertices, np.float32)
+    faces = np.asarray(faces, np.int64)
+    n_tri = len(faces)
+    numquads = (n_tri + 1) // 2
+    numquadsx = max(int(np.sqrt(numquads) + 4) & ~3, 4)
+    numquadsy = (numquads + numquadsx - 1) // numquadsx
+    qy = quad_res
+    qx = qy + 3
+    texw, texh = qx * numquadsx, qy * numquadsy
+
+    # per-triangle texel-space corners (reference index pattern:
+    # tri 2q uses (0,0),(d,d),(0,d); tri 2q+1 uses (3,0),(3+d,0),(3+d,d))
+    d = qy - 1
+    uv = np.zeros((n_tri, 3, 2), np.float64)
+    for i in range(n_tri):
+        q = i // 2
+        x0 = (q % numquadsx) * qx
+        y0 = (q // numquadsx) * qy
+        if i % 2 == 0:
+            corners = [(x0, y0), (x0 + d, y0 + d), (x0, y0 + d)]
+        else:
+            corners = [(x0 + 3, y0), (x0 + 3 + d, y0), (x0 + 3 + d, y0 + d)]
+        for k, (cx, cy) in enumerate(corners):
+            uv[i, k] = ((cx + 0.5) / texw, 1.0 - (cy + 0.5) / texh)
+
+    # bake vertex colors into the atlas
+    tex = np.full((texh, texw, 3), 128, np.uint8)
+    if colors is not None:
+        colors = np.clip(np.asarray(colors, np.float32), 0.0, 1.0)
+        for i in range(n_tri):
+            q = i // 2
+            x0 = (q % numquadsx) * qx
+            y0 = (q // numquadsx) * qy
+            c = (colors[faces[i]].mean(0) * 255.0 + 0.5).astype(np.uint8)
+            if i % 2 == 0:
+                tex[y0 : y0 + qy, x0 : x0 + qy] = c
+            else:
+                tex[y0 : y0 + qy, x0 + 3 : x0 + 3 + qy] = c
+
+    base = path.rsplit(".", 1)[0]
+    imageio.imwrite(base + ".png", tex)
+    mtl = base + ".mtl"
+    import os
+
+    with open(mtl, "w") as f:
+        f.write("newmtl ngp\nKa 1 1 1\nKd 1 1 1\n"
+                f"map_Kd {os.path.basename(base)}.png\n")
+
+    # vertex normals from area-weighted face normals
+    nrm = np.zeros_like(vertices)
+    tri = vertices[faces]
+    fn = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    for k in range(3):
+        np.add.at(nrm, faces[:, k], fn)
+    nrm /= np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9)
+
+    with open(path, "w") as f:
+        f.write(f"mtllib {os.path.basename(mtl)}\n")
+        if colors is not None:
+            for v, c in zip(vertices, colors):
+                f.write(f"v {v[0]:.5f} {v[1]:.5f} {v[2]:.5f} "
+                        f"{c[0]:.3f} {c[1]:.3f} {c[2]:.3f}\n")
+        else:
+            for v in vertices:
+                f.write(f"v {v[0]:.5f} {v[1]:.5f} {v[2]:.5f}\n")
+        for n in nrm:
+            f.write(f"vn {n[0]:.5f} {n[1]:.5f} {n[2]:.5f}\n")
+        for i in range(n_tri):
+            for k in range(3):
+                f.write(f"vt {uv[i, k, 0]:.6f} {uv[i, k, 1]:.6f}\n")
+        f.write("usemtl ngp\n")
+        for i, face in enumerate(faces):
+            t = i * 3
+            f.write(
+                f"f {face[0]+1}/{t+1}/{face[0]+1} "
+                f"{face[1]+1}/{t+2}/{face[1]+1} "
+                f"{face[2]+1}/{t+3}/{face[2]+1}\n")

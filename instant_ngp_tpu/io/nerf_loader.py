@@ -61,6 +61,9 @@ class NerfDataset:
     # (N, 2) per-image (w, h) when images have differing sizes (each
     # padded into the max canvas); None for uniform datasets
     per_image_resolution: Optional[np.ndarray] = None
+    # (N, H, W, 6) per-pixel supplied rays (o ⊕ d, NGP space) loaded
+    # from rays_<stem>.dat files (reference nerf_loader.cu:644-666)
+    rays: Optional[np.ndarray] = None
 
     @property
     def n_images(self) -> int:
@@ -222,6 +225,31 @@ def load_nerf(path, sharpen: float = 0.0) -> NerfDataset:
     else:
         images = (np.stack(imgs) * 255.0 + 0.5).astype(np.uint8)
 
+    # per-pixel supplied rays: the reference loads `rays_<stem>.dat`
+    # next to each image (binary (o,d) float3 pairs per pixel,
+    # nerf_loader.cu:644-666) and marches those instead of lens rays.
+    rays = None
+    ray_files = [Path(pth).parent / f"rays_{Path(pth).stem}.dat" for pth in paths]
+    if any(rf.exists() for rf in ray_files):
+        rays = np.zeros((len(frames), h, w, 6), np.float32)
+        for i, rf in enumerate(ray_files):
+            wi, hi = int(sizes[i, 0]), int(sizes[i, 1])
+            if not rf.exists():
+                import warnings
+
+                warnings.warn(f"missing rays file {rf}; frame {i} rays zeroed")
+                continue
+            raw = np.fromfile(rf, np.float32)
+            if raw.size < wi * hi * 6:
+                raise ValueError(f"rays file {rf} too small: {raw.size}")
+            r = raw[: wi * hi * 6].reshape(hi, wi, 6)
+            o, d = r[..., :3], r[..., 3:]
+            # nerf_ray_to_ngp (nerf_loader.h:153-168): scale+offset the
+            # origin, cycle xyz→yzx both
+            o = o * scale + offset[None, None, :]
+            rays[i, :hi, :wi, :3] = o[..., [1, 2, 0]]
+            rays[i, :hi, :wi, 3:] = d[..., [1, 2, 0]]
+
     if meta.get("white_transparent") or meta.get("black_transparent"):
         # alpha from luminance (reference nerf_loader.cu mask handling)
         lum = images[..., :3].astype(np.float32).mean(-1)
@@ -264,6 +292,7 @@ def load_nerf(path, sharpen: float = 0.0) -> NerfDataset:
         n_extra_learnable_dims=int(meta.get("n_extra_learnable_dims", 0)),
         paths=paths,
         per_image_resolution=sizes.astype(np.int32) if mixed else None,
+        rays=rays,
     )
 
     fx_g = focal(meta, "x", w)

@@ -30,6 +30,7 @@ import numpy as np
 
 from ..common import (
     NERF_CASCADES,
+    NERF_GRIDSIZE,
     NERF_MIN_OPTICAL_THICKNESS,
     NerfActivation,
     linear_to_srgb,
@@ -202,7 +203,11 @@ class NerfTask:
         h.update(str((dataset.resolution, self.max_cascade)).encode())
         cache_dir = Path(__file__).resolve().parents[2] / ".jax_cache"
         cache_file = cache_dir / f"culled_{h.hexdigest()[:16]}.npy"
-        if cache_file.exists():
+        if dataset.rays is not None:
+            culled = jnp.zeros(
+                (self.max_cascade + 1, NERF_GRIDSIZE, NERF_GRIDSIZE,
+                 NERF_GRIDSIZE), jnp.float32)
+        elif cache_file.exists():
             culled = jnp.asarray(np.load(cache_file))
         else:
             culled = mark_untrained_cells(
@@ -253,8 +258,6 @@ class NerfTask:
             n_rays_per_batch, n_img, dataset.resolution
         )
         eh, ew = self.error_map_res
-        from ..common import NERF_GRIDSIZE
-
         sharp_grid = None
         if include_sharpness_in_error:
             sharp_grid = jnp.zeros(
@@ -307,19 +310,28 @@ class NerfTask:
         if dataset.per_image_resolution is not None:
             self.data["img_wh"] = jnp.asarray(
                 dataset.per_image_resolution, jnp.int32)
+        if dataset.rays is not None:
+            self.data["rays"] = jnp.asarray(dataset.rays, jnp.float32)
+            # reference: supplied rays zero the near distance and skip
+            # frustum-based visibility culling (testbed_nerf.cu:2381,
+            # :2506 — arbitrary rays defeat the camera-cone test)
+            self.training_near_distance = 0.0
         if include_sharpness_in_error:
             self.data["sharpness"] = jnp.asarray(
                 dataset.compute_sharpness_maps(), jnp.float32
             )  # (N, 72, 128)
 
         # corner-sampling anneal: stochastic single-corner hashed
-        # gradients early (2.7x faster steps), exact 8-corner after
+        # gradients early (~1.6x faster steps), exact corners after
         # this step. Measured on fox: the stochastic estimator's noise
         # floor caps PSNR ~24 dB (and training DEGRADES past ~900
-        # steps); switching at 768 reached 26.44 dB @240 s vs 24.08
-        # without — and the stochastic phase gains little after ~512,
-        # so switch there. None = never switch.
-        self.exact_corners_after: int | None = 512
+        # steps). Round-3 A/B with simplex + cheap grid updates
+        # (scripts + docs/ROUND3_NOTES.md): switching at 256 beats 512
+        # by +0.2-0.35 dB at EVERY step count for only ~14 s of extra
+        # exact-phase time — the sto phase's only job is surviving the
+        # chaotic first few hundred steps cheaply. None = never switch.
+        # (hashed_grad_corners also supports k-draw middle phases.)
+        self.exact_corners_after: int | None = 256
         # failure detection & numerics guards (SURVEY §5: the
         # checkify analog — cheap host-side, on the already-fetched
         # loss scalar; reference aborts training on zero samples)
@@ -452,6 +464,17 @@ class NerfTask:
         from ..common import LensMode
         from ..render.camera import camera_slerp, so3_exp, uv_to_ray_cam
 
+        if "rays" in data:
+            # per-pixel supplied rays (reference dataset.has_rays:
+            # lens/xform ray gen is bypassed, testbed_nerf.cu:2381)
+            wi, hi = self.dataset.resolution
+            px = jnp.clip((uv[:, 0] * wi).astype(jnp.int32), 0, wi - 1)
+            py = jnp.clip((uv[:, 1] * hi).astype(jnp.int32), 0, hi - 1)
+            r = data["rays"][img_idx, py, px]  # (R, 6)
+            o = r[:, :3]
+            d = r[:, 3:]
+            d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+            return o, d
         w, h = self.dataset.resolution
         if "img_wh" in data:  # mixed-resolution dataset: per-image size
             w = data["img_wh"][img_idx, 0].astype(jnp.float32)
@@ -980,7 +1003,13 @@ class NerfTask:
                 self._key, sub = jax.random.split(self._key)
                 self.state = self._jit_update_grid(
                     self.state, sub, jnp.int32(self.training_step),
-                    full=self.training_step < 256,
+                    # reference runs FULL grid updates until step 256;
+                    # a full update probes 8x the partial's cells and
+                    # measured ~3 s each on v5e (~50 s of a 240 s fox
+                    # budget) — half the full phase recovers that time
+                    # with no measurable PSNR cost (partials keep
+                    # refreshing every cell in expectation)
+                    full=self.training_step < 128,
                 )
                 # adaptive rays/batch so VALID samples stay near the
                 # sample target as the occupancy grid sparsifies

@@ -269,7 +269,8 @@ def _hge_bwd(enc, res, g):
     # the position bits (changes every step with the march jitter; no
     # PRNG key reaches a custom-VJP backward)
     u_rand = None
-    if enc.hashed_grad_corners == 1:
+    n_draws = enc.hashed_grad_corners
+    if n_draws >= 1:
         bits = jax.lax.bitcast_convert_type(x, jnp.uint32)  # (N, D)
         h = jnp.zeros_like(bits[:, 0])
         for d in range(D):
@@ -279,22 +280,33 @@ def _hge_bwd(enc, res, g):
     merge_groups: dict[tuple[int, int], list[int]] = {}
     for l, (op, grid, t, dchain, idx, w, aux) in enumerate(geoms):
         C = idx.shape[0]  # 2^D trilinear, 4 simplex
-        if op.hashed and enc.hashed_grad_corners == 1 and method != "xla":
-            # Stochastic single-corner table gradient (TPU-first
-            # design note): every scatter formulation on TPU costs
-            # ~10-40 ns per serial element (scripts/bench_primitives),
-            # so the C=2^D corner updates per sample dominate training.
-            # Picking ONE corner per sample with probability w_c is an
-            # unbiased estimator of the full update (Σ_c w_c = 1 for
-            # (smooth)linear interpolation) at 1/C the scatter cost.
-            # Decorrelated across levels by folding the level index
-            # into the uniform.
-            u_l = (u_rand + np.float32(l * 0.6180339887)) % 1.0
-            cdf = jnp.cumsum(w, axis=0)  # (C, N), last row == 1
-            c_sel = jnp.sum(cdf < u_l[None, :] * cdf[-1], axis=0)
-            c_sel = jnp.clip(c_sel, 0, C - 1)
-            idx_sel = jnp.take_along_axis(idx, c_sel[None, :], axis=0)[0]
-            dtables[l] = scatter_add_xla(idx_sel, g_levels[l], op.size)
+        if (op.hashed and method != "xla" and 1 <= n_draws < C):
+            # Stochastic corner table gradient (TPU-first design note):
+            # every scatter formulation on TPU costs ~10-40 ns per
+            # serial element (scripts/bench_primitives), so the C
+            # corner updates per sample dominate training. Each of k
+            # independent draws picks corner c with probability w_c and
+            # deposits g/k — an unbiased estimator of the full update
+            # (Σ_c w_c = 1) at k/C the scatter cost with variance ∝ 1/k
+            # (k = hashed_grad_corners; the anneal raises k over
+            # training as the noise floor approaches). Draws are
+            # decorrelated across levels and k by folding both into
+            # the position-hash uniform.
+            g_k = g_levels[l] * np.float32(1.0 / n_draws)
+            parts = []
+            for k in range(n_draws):
+                u_l = (u_rand + np.float32(((l * 7 + k) * 0.6180339887) % 1.0)) % 1.0
+                cdf = jnp.cumsum(w, axis=0)  # (C, N), last row == 1
+                c_sel = jnp.sum(cdf < u_l[None, :] * cdf[-1], axis=0)
+                c_sel = jnp.clip(c_sel, 0, C - 1)
+                idx_sel = jnp.take_along_axis(idx, c_sel[None, :], axis=0)[0]
+                parts.append(idx_sel)
+            if n_draws == 1:
+                dtables[l] = scatter_add_xla(parts[0], g_k, op.size)
+            else:
+                idx_all = jnp.concatenate(parts)
+                upd_all = jnp.tile(g_k, (n_draws, 1))
+                dtables[l] = scatter_add_xla(idx_all, upd_all, op.size)
         elif method == "xla":
             upd = (w[:, :, None] * g_levels[l][None, :, :]).reshape(C * N, F)
             dtables[l] = scatter_add_xla(idx.reshape(C * N), upd, op.size)
@@ -440,12 +452,14 @@ class GridEncoding:
     #   "xla"   — scalar scatter-add fallback (serial, exact)
     #   "autodiff" — no custom VJP at all; reference for tests
     grad_method: str = "auto"
-    # Hashed-level gradient corners: 2^D (exact) or 1 (stochastic
-    # single-corner, unbiased, 1/2^D the scatter cost — see the design
-    # note in _hge_bwd). Dense levels always use all corners (their
-    # splat backward is matmul-cheap). Default 1: measured on fox/v5e,
-    # 125 vs 335 ms/step for a −0.8 dB-per-step deficit — ahead on
-    # time-to-PSNR at every budget (scripts/ab_corners.py).
+    # Hashed-level gradient corners: ≥C (exact; C = 2^D trilinear, 4
+    # simplex) or k < C stochastic draws (each deposits g/k at a
+    # corner drawn with probability w_c — unbiased, k/C the scatter
+    # cost, variance ∝ 1/k; see the design note in _hge_bwd). Dense
+    # levels always use all corners (their splat backward is
+    # matmul-cheap). Default 1: measured on fox/v5e, ahead on
+    # time-to-PSNR at every budget (scripts/ab_corners.py); the
+    # NerfTask anneal raises it to exact mid-training.
     hashed_grad_corners: int = 1
 
     @property

@@ -763,16 +763,22 @@ class Testbed:
     def compute_and_save_marching_cubes_mesh(
         self, filename: str, resolution=(256, 256, 256), aabb=None,
         thresh: float = 2.5, generate_uvs_for_exporting_texture: bool = False,
+        generate_uvs_for_obj_file: bool = False,
     ):
         """pyngp compute_and_save_marching_cubes_mesh
-        (python_api.cu:652-658 → Testbed::compute_and_save_mesh)."""
+        (python_api.cu:652-658 → Testbed::compute_and_save_mesh;
+        `generate_uvs_for_obj_file` is the reference's pybind arg name
+        for the unwrap path)."""
         from .geometry.marching_cubes import extract_mesh
-        from .geometry.mesh_io import save_obj, save_ply
+        from .geometry.mesh_io import save_obj, save_obj_unwrapped, save_ply
 
         res = int(resolution[0]) if np.ndim(resolution) else int(resolution)
         verts, faces, colors = extract_mesh(self.task, res=res, iso=thresh)
+        unwrap = generate_uvs_for_exporting_texture or generate_uvs_for_obj_file
         if str(filename).lower().endswith(".ply"):
             save_ply(filename, verts, faces, colors)
+        elif unwrap:
+            save_obj_unwrapped(filename, verts, faces, colors)
         else:
             save_obj(filename, verts, faces, colors)
         return len(verts)

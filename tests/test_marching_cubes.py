@@ -122,3 +122,25 @@ class TestSphere:
         assert area(vc, fc) == pytest.approx(area(vt, ft), rel=0.05)
         # MC has fewer triangles than 6-tet marching for the same field
         assert len(fc) < len(ft)
+
+
+class TestUnwrappedExport:
+    def test_save_obj_unwrapped(self, tmp_path):
+        from instant_ngp_tpu.geometry.mesh_io import save_obj_unwrapped
+
+        field = sphere_field(16)
+        verts, faces = marching_cubes(field, 0.0)
+        colors = np.tile(np.array([[0.8, 0.3, 0.1]], np.float32),
+                         (len(verts), 1))
+        out = tmp_path / "mesh.obj"
+        save_obj_unwrapped(out, verts, faces, colors)
+        txt = out.read_text()
+        assert "mtllib" in txt and "usemtl" in txt
+        assert txt.count("\nvt ") == 3 * len(faces)
+        assert (tmp_path / "mesh.png").exists()
+        assert (tmp_path / "mesh.mtl").exists()
+        # uv coords in [0,1]
+        vts = np.asarray([
+            [float(x) for x in line.split()[1:3]]
+            for line in txt.splitlines() if line.startswith("vt ")])
+        assert (vts >= 0).all() and (vts <= 1).all()

@@ -186,3 +186,45 @@ class TestCompileCacheConfigured:
         importlib.reload(_jaxcache)
         assert jax.config.jax_compilation_cache_dir == "/root/repo/.jax_cache"
         assert jax.config.jax_persistent_cache_min_compile_time_secs == 1.0
+
+
+class TestSuppliedRays:
+    def test_rays_dat_loading_and_training(self, tmp_path):
+        import imageio.v2 as imageio
+        import json as _json
+
+        from instant_ngp_tpu.io.nerf_loader import load_nerf
+        from instant_ngp_tpu.nerf.task import NerfTask
+        import __graft_entry__ as g
+
+        rng = np.random.default_rng(0)
+        w = h = 8
+        frames = []
+        for i in range(2):
+            img = rng.integers(0, 255, (h, w, 4), dtype=np.uint8)
+            imageio.imwrite(tmp_path / f"im{i}.png", img)
+            # rays file: origins at z=-0.5 plane (nerf space), dirs +z
+            o = np.zeros((h, w, 3), np.float32)
+            o[..., 0] = np.linspace(-1, 1, w)[None, :]
+            o[..., 2] = -2.0
+            d = np.zeros((h, w, 3), np.float32)
+            d[..., 2] = 1.0
+            np.concatenate([o, d], -1).astype(np.float32).tofile(
+                tmp_path / f"rays_im{i}.dat")
+            frames.append({"file_path": f"im{i}.png",
+                           "transform_matrix": np.eye(4).tolist()})
+        meta = {"camera_angle_x": 0.9, "aabb_scale": 1, "frames": frames}
+        (tmp_path / "transforms.json").write_text(_json.dumps(meta))
+        ds = load_nerf(tmp_path)
+        assert ds.rays is not None and ds.rays.shape == (2, 8, 8, 6)
+        # nerf_ray_to_ngp applied: o scaled+offset then xyz→yzx cycle
+        o_ngp = ds.rays[0, 0, 0, :3]
+        expect = (np.array([-1.0, 0.0, -2.0]) * ds.scale + ds.offset)[[1, 2, 0]]
+        np.testing.assert_allclose(o_ngp, expect, atol=1e-6)
+        np.testing.assert_allclose(ds.rays[0, 0, 0, 3:], [0, 1, 0], atol=1e-6)
+
+        task = NerfTask(ds, g._tiny_nerf_config(), n_rays_per_batch=64,
+                        max_samples_per_ray=4, n_march_iters=8)
+        assert task.training_near_distance == 0.0
+        loss = task.train(2)
+        assert np.isfinite(loss)

@@ -202,3 +202,31 @@ class TestSimplexInNetwork:
         g = jax.grad(lambda p: jnp.sum(enc(p, x) ** 2))(params)
         for gi in g:
             assert np.isfinite(np.asarray(gi)).all()
+
+
+class TestMultiDrawStochastic:
+    def test_two_draw_unbiased(self):
+        """k=2 stochastic draws average to the exact gradient like k=1
+        but with lower variance."""
+        exact = _hashed_enc(grad_method="merge", hashed_grad_corners=8)
+        sto1 = _hashed_enc(grad_method="auto", hashed_grad_corners=1)
+        sto2 = _hashed_enc(grad_method="auto", hashed_grad_corners=2)
+        lv = exact.levels[0]
+        table = jax.random.normal(jax.random.PRNGKey(10), (lv.size, 2))
+
+        def g_of(enc, xx):
+            return jax.grad(lambda tab: jnp.sum(enc((tab,), xx)))(table)
+
+        reps = 48
+        err = {}
+        for enc, name in ((sto1, "k1"), (sto2, "k2")):
+            acc = np.zeros_like(np.asarray(table))
+            gex = np.zeros_like(acc)
+            for r in range(reps):
+                x = jax.random.uniform(jax.random.PRNGKey(500 + r), (512, 3))
+                acc += np.asarray(g_of(enc, x))
+                gex += np.asarray(g_of(exact, x))
+            err[name] = np.abs(acc - gex).sum() / (np.abs(gex).sum() + 1e-9)
+        assert err["k2"] < 0.25
+        # 2 draws should estimate no worse than 1 (usually ~1/sqrt2)
+        assert err["k2"] < err["k1"] * 1.1
