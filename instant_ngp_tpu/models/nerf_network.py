@@ -77,13 +77,15 @@ class NerfNetwork:
         return None
 
     def density(self, params: dict, pos: jax.Array, max_level=None,
-                compute_dtype=jnp.bfloat16, bricks=None):
+                compute_dtype=jnp.bfloat16, bricks=None, fast=False):
         """Density-only path: pos (N,3) → (N, 16) density-MLP output.
-        Channel 0 is the density logit (reference nerf_network.h:270-280)."""
-        if bricks is not None and hasattr(self.pos_encoding, "encode_infer"):
+        Channel 0 is the density logit (reference nerf_network.h:270-280).
+        fast: stochastic-corner hashed gathers (interactive render)."""
+        if (bricks is not None or fast) and hasattr(self.pos_encoding, "encode_infer"):
             feats = self.pos_encoding.encode_infer(
                 params.get("pos_enc"), pos, bricks=bricks,
-                max_level=max_level, compute_dtype=compute_dtype)
+                max_level=max_level, compute_dtype=compute_dtype,
+                stochastic_corner=fast)
         else:
             feats = self.pos_encoding(
                 params.get("pos_enc"), pos, max_level=max_level,
@@ -99,12 +101,14 @@ class NerfNetwork:
         max_level=None,
         compute_dtype=jnp.bfloat16,
         bricks=None,
+        fast=False,
     ) -> jax.Array:
         """Full forward. Args: pos (N,3) in [0,1]; dir_warped (N,3) in
         [0,1] (warp_direction applied by the caller); extra (N,E) latent
         dims. Returns (N, 4): rgb logits + density logit."""
         d_out = self.density(params, pos, max_level=max_level,
-                             compute_dtype=compute_dtype, bricks=bricks)
+                             compute_dtype=compute_dtype, bricks=bricks,
+                             fast=fast)
         dir_feats = self.dir_encoding(
             params.get("dir_enc"), dir_warped, compute_dtype=compute_dtype
         )

@@ -424,7 +424,7 @@ class NerfTask:
         )
         self._jit_march_window = jax.jit(self._march_window)
         self._jit_eval_composite = jax.jit(
-            self._eval_and_composite, static_argnames=("compact",)
+            self._eval_and_composite, static_argnames=("compact", "fast")
         )
         self._jit_prep_rays = jax.jit(self._prep_rays)
         self._jit_gather_ray_state = jax.jit(self._gather_ray_state)
@@ -1155,7 +1155,7 @@ class NerfTask:
             cost, eps_t)
 
     def _eval_window(self, params, o, d, ts, valid, bricks=None,
-                     compact: int | None = None):
+                     compact: int | None = None, fast: bool = False):
         """Network evaluation over a marched (R, K) window, optionally
         on the compacted valid prefix. The (R, K) window is mostly
         invalid slots (dead rays, short in-window marches) and every
@@ -1174,23 +1174,23 @@ class NerfTask:
             maps = prefix_compaction_maps(jnp.sum(valid, -1), K, compact)
             pos_c = jnp.take(pos_w.reshape(M, 3), maps.src, axis=0)
             dir_c = jnp.take(dirs.reshape(M, 3), maps.src, axis=0)
-            out_c = self.model(params, pos_c, dir_c, bricks=bricks)
+            out_c = self.model(params, pos_c, dir_c, bricks=bricks, fast=fast)
             out = jnp.take(out_c, maps.dest, axis=0)
             out = jnp.where(maps.kept[:, None], out, 0.0).reshape(R, K, 4)
         else:
             out = self.model(
                 params, pos_w.reshape(M, 3), dirs.reshape(M, 3),
-                bricks=bricks,
+                bricks=bricks, fast=fast,
             ).reshape(R, K, 4)
         return out
 
     def _eval_and_composite(self, params, o, d, ts, dts, valid, t, t_exit, T,
                             rgb, depth, alive, tmax, cost, eps_t, bricks,
-                            compact: int | None = None):
+                            compact: int | None = None, fast: bool = False):
         """Second half of a render round (one jit program): network on
         the compacted valid prefix + composite. `compact` is chosen by
         the host from the marched sample count — no overflow possible."""
-        out = self._eval_window(params, o, d, ts, valid, bricks, compact)
+        out = self._eval_window(params, o, d, ts, valid, bricks, compact, fast)
         return self._composite_window(
             out, ts, dts, valid, t, t_exit, T, rgb, depth, alive, tmax,
             cost, eps_t)
@@ -1224,7 +1224,7 @@ class NerfTask:
         return t_exit, T_new, rgb, depth, alive, cost
 
     def _render_rays(self, params, grid_bits, o, d, key=None, max_rounds: int = 64,
-                     bricks=None, tminmax=None):
+                     bricks=None, tminmax=None, fast: bool = False):
         """Render rays to (rgb, alpha, depth): host loop over jitted
         march+composite rounds with alive-ray compaction between rounds
         (the reference's compact_kernel_nerf, recast as host-side
@@ -1307,6 +1307,7 @@ class NerfTask:
                 params, o_c, d_c, ts, dts, valid_s, t_c, t_exit, T_c, rgb_c,
                 depth_c, alive_c, tmax_c, cost_c,
                 jnp.float32(self.min_transmittance), bricks, compact=cap,
+                fast=fast,
             )
 
         writeback(np.ones(len(idx), bool))
@@ -1344,6 +1345,7 @@ class NerfTask:
         to_srgb: bool = False,
         render_mode: str = "shade",
         uv_warp_fn=None,
+        render_quality: str = "exact",
     ) -> np.ndarray:
         """Render a frame → (H, W, 4) float32 RGBA.
 
@@ -1434,7 +1436,8 @@ class NerfTask:
                         fl_arr[0], pp_arr[0], xform)
                     tminmax = (tmin, tmax)
                 rgb, alpha, depth, cost = self._render_rays(
-                    params, grid_bits, o, d, bricks=bricks, tminmax=tminmax)
+                    params, grid_bits, o, d, bricks=bricks, tminmax=tminmax,
+                    fast=(render_quality == "fast"))
                 if render_mode == "shade" and self.train_envmap and \
                         "envmap" in self.state.cam:
                     ev = _read_envmap(self.state.cam["envmap"], d)

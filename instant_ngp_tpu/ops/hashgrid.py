@@ -606,25 +606,51 @@ class GridEncoding:
         return tuple(out)
 
     def encode_infer(self, params, x, bricks=None, max_level=None,
-                     compute_dtype=jnp.float32):
+                     compute_dtype=jnp.float32, stochastic_corner=False):
         """Inference-only encode using bricked dense levels (no
         gradients). Falls back to the training path when bricks is
-        None."""
-        if bricks is None:
+        None.
+
+        stochastic_corner: hashed levels gather ONE corner drawn with
+        probability equal to its interpolation weight (position-hashed
+        uniform) instead of all C — an unbiased per-level feature
+        sample at 1/C the gather rows. This is the FAST interactive
+        render mode: feature noise shows as mild grain that spp
+        averaging suppresses; the eval protocol keeps exact corners.
+        """
+        if bricks is None and not stochastic_corner:
             return self(params, x, max_level=max_level,
                         compute_dtype=compute_dtype)
+        if bricks is None:
+            bricks = (None,) * self.n_levels
         if not isinstance(params, (tuple, list)):
             params = self.unpack_params(params)
         D = self.n_dims
         C = 1 << D
         L, F = self.n_levels, self.n_features_per_level
+        u_rand = None
+        if stochastic_corner:
+            bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+            hsh = jnp.zeros_like(bits[:, 0])
+            for dd in range(D):
+                hsh = hsh ^ (bits[:, dd] * np.uint32(_PRIMES[(dd + 1) % len(_PRIMES)]))
+            hsh = hsh * np.uint32(0x9E3779B1)
+            u_rand = (hsh >> 8).astype(jnp.float32) * np.float32(2.0**-24)
         outs = []
-        for level, table, brick in zip(self.levels, params, bricks):
+        for li, (level, table, brick) in enumerate(zip(self.levels, params, bricks)):
             op = self._level_op(level)
             grid, t, _ = _corner_setup(op, x)
             if brick is None:
                 idx, w, _aux = _level_corners(op, grid, t)
                 Cl, N = idx.shape
+                if stochastic_corner and level.hashed and Cl > 1:
+                    u_l = (u_rand + np.float32(li * 0.6180339887)) % 1.0
+                    cdf = jnp.cumsum(w, axis=0)
+                    c_sel = jnp.clip(
+                        jnp.sum(cdf < u_l[None, :] * cdf[-1], axis=0), 0, Cl - 1)
+                    idx_sel = jnp.take_along_axis(idx, c_sel[None, :], axis=0)[0]
+                    outs.append(jnp.take(table, idx_sel, axis=0))
+                    continue
                 feats = jnp.take(table, idx.reshape(-1), axis=0).reshape(Cl, N, F)
                 outs.append(jnp.einsum("cn,cnf->nf", w.astype(feats.dtype), feats))
             else:

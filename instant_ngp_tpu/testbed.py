@@ -255,6 +255,9 @@ class Testbed:
         self.fov_axis = 1
         self.camera_smoothing = False
         self.render_with_lens_distortion = True
+        # "exact" | "fast": fast uses stochastic-corner hashed gathers
+        # (~1/C the encoding rows; mild grain) — the interactive mode
+        self.render_quality = "exact"
         self.root_dir = str(Path(__file__).resolve().parents[1])
         self._nerf_pending: dict = {}
         self.nerf = _NerfView(self)
@@ -464,6 +467,7 @@ class Testbed:
                 fov=fov or self.fov,
                 spp=spp,
                 background=tuple(self.background_color),
+                render_quality=self.render_quality,
                 **kw,
             )
             # LDR scenes train/render in sRGB space, HDR in linear

@@ -196,3 +196,22 @@ class TestNewRenderModes:
                                 focal_length=(20.0, 20.0), render_mode=mode)
             assert frame.shape == (8, 8, 4)
             assert np.isfinite(frame).all()
+
+
+class TestFastRenderMode:
+    def test_fast_mode_close_to_exact(self):
+        import numpy as np
+        import __graft_entry__ as g
+        from instant_ngp_tpu.nerf.task import NerfTask
+
+        ds = g._synthetic_dataset(n_images=2, w=16, h=16)
+        task = NerfTask(ds, g._tiny_nerf_config(), n_rays_per_batch=64,
+                        max_samples_per_ray=4, n_march_iters=8)
+        task.train(8)
+        kw = dict(focal_length=(20.0, 20.0), background=(0, 0, 0, 0))
+        exact = task.render(12, 12, ds.xforms_start[0], **kw)
+        fast = task.render(12, 12, ds.xforms_start[0],
+                           render_quality="fast", **kw)
+        assert np.isfinite(fast).all()
+        # unbiased feature sampling: images differ by bounded grain
+        assert np.abs(fast - exact).mean() < 0.2
