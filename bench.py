@@ -149,6 +149,13 @@ def bench_fox():
         extras["gigapixel"] = bench_gigapixel()
     except Exception as e:  # noqa: BLE001
         extras["gigapixel"] = {"error": str(e)[:120]}
+    for name, fn in (("sdf_armadillo", bench_sdf),
+                     ("volume_blob", bench_volume),
+                     ("image_albert", bench_albert)):
+        try:
+            extras[name] = fn()
+        except Exception as e:  # noqa: BLE001
+            extras[name] = {"error": str(e)[:120]}
     if seconds_to_target is not None:
         return {
             "metric": "fox_nerf_seconds_to_30db_psnr",
@@ -164,6 +171,64 @@ def bench_fox():
         "vs_baseline": round(best_psnr / TARGET_DB, 3),
         "extra": {**extras, "budget_s": BUDGET_S},
     }
+
+
+def bench_sdf(n_steps: int = 512):
+    """SDF armadillo fit (BASELINE config): IoU after a short train."""
+    import time as _t
+
+    from instant_ngp_tpu.config import load_network_config
+    from instant_ngp_tpu.sdf.task import SdfTask
+
+    task = SdfTask("/root/reference/data/sdf/armadillo.obj",
+                   load_network_config("base.json", mode="sdf"))
+    task.train(2)
+    t0 = _t.time()
+    task.train(n_steps)
+    dt = _t.time() - t0
+    iou = task.calculate_iou(1 << 19)
+    task.stop_producer()
+    return {"iou": round(float(iou), 4), "steps": task.training_step,
+            "steps_per_s": round(n_steps / dt, 2)}
+
+
+def bench_volume(n_steps: int = 100):
+    """Neural-volume fit on a procedural blob (no .nvdb asset in this
+    environment): density MSE + learned-vs-GT render MSE (the
+    reference's side-by-side comparison, testbed_volume.cu render
+    modes)."""
+    from instant_ngp_tpu.config import load_network_config
+    from instant_ngp_tpu.volume.task import VolumeTask
+
+    x = np.linspace(-1, 1, 48)
+    gx, gy, gz = np.meshgrid(x, x, x, indexing="ij")
+    dens = np.maximum(0.0, 1.2 - 2.2 * (gx**2 + 1.4 * gy**2 + gz**2))
+    dens += 0.4 * np.maximum(0.0, 0.4 - (gx - 0.3) ** 2 - gz**2)
+    task = VolumeTask(dens.astype(np.float32),
+                      load_network_config("base.json", mode="volume"))
+    task.train(n_steps)
+    cam = np.concatenate([np.eye(3, dtype=np.float32),
+                          np.array([[0.5], [0.5], [-1.3]], np.float32)], 1)
+    gt = task.render(64, 64, cam, ground_truth=True)
+    learned = task.render(64, 64, cam)
+    img_mse = float(np.mean((gt[..., :3] - learned[..., :3]) ** 2))
+    return {"density_mse": round(float(task.compute_density_mse()), 4),
+            "gt_vs_learned_render_mse": round(img_mse, 4),
+            "steps": task.training_step}
+
+
+def bench_albert(n_steps: int = 300):
+    """albert.exr image fit PSNR (BASELINE config)."""
+    from instant_ngp_tpu.config import load_network_config
+    from instant_ngp_tpu.image_fit.task import ImageTask
+    from instant_ngp_tpu.io.image import load_image
+    from instant_ngp_tpu.metrics import mse_to_psnr
+
+    img, is_hdr = load_image(ALBERT)
+    task = ImageTask(img, is_hdr, load_network_config("base.json", mode="image"))
+    task.train(n_steps)
+    return {"psnr": round(float(mse_to_psnr(task.compute_mse())), 2),
+            "steps": task.training_step}
 
 
 def bench_gigapixel():
