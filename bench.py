@@ -141,8 +141,7 @@ def bench_fox():
             task.render(256, 256, ds.xforms_start[v], **kw)
             return round(256 * 256 / (time.time() - t0) / 1e6, 4)
 
-        extras["render_mrays_per_s"] = {
-            "exact": rays_per_s("exact"), "fast": rays_per_s("fast")}
+        extras["render_mrays_per_s"] = {"exact": rays_per_s("exact")}
     except Exception as e:  # noqa: BLE001
         extras["render_mrays_per_s"] = {"error": str(e)[:120]}
     try:

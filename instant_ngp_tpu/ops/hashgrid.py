@@ -613,10 +613,15 @@ class GridEncoding:
 
         stochastic_corner: hashed levels gather ONE corner drawn with
         probability equal to its interpolation weight (position-hashed
-        uniform) instead of all C — an unbiased per-level feature
-        sample at 1/C the gather rows. This is the FAST interactive
-        render mode: feature noise shows as mild grain that spp
-        averaging suppresses; the eval protocol keeps exact corners.
+        uniform) instead of all C — an unbiased per-level FEATURE
+        sample at 1/C the gather rows. MEASURED VERDICT (fox, v5e,
+        docs/ROUND3_NOTES.md): not viable as a render fast path — the
+        density MLP + exp activation turn unbiased feature noise into
+        heavily biased opacity (17 dB vs 24 dB exact at step 512) and
+        the end-to-end render time barely moved (the round pipeline is
+        not purely gather-bound at these sizes). Kept as an estimator
+        primitive (it IS unbiased in feature space; tests cover it),
+        not wired to any default path.
         """
         if bricks is None and not stochastic_corner:
             return self(params, x, max_level=max_level,

@@ -255,8 +255,9 @@ class Testbed:
         self.fov_axis = 1
         self.camera_smoothing = False
         self.render_with_lens_distortion = True
-        # "exact" | "fast": fast uses stochastic-corner hashed gathers
-        # (~1/C the encoding rows; mild grain) — the interactive mode
+        # "exact" | "fast" (fast = stochastic-corner hashed gathers;
+        # measured NOT worth it — see encode_infer docstring — kept
+        # for experimentation only)
         self.render_quality = "exact"
         self.root_dir = str(Path(__file__).resolve().parents[1])
         self._nerf_pending: dict = {}

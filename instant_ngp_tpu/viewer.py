@@ -131,13 +131,7 @@ class ViewerServer:
             cam = np.asarray(
                 self.camera_predictor.predict_camera(lat), np.float32)
         with self._lock:
-            # interactive viewing: fast stochastic-corner rendering
-            prev_q = getattr(self.testbed, "render_quality", "exact")
-            self.testbed.render_quality = "fast"
-            try:
-                frame = self.testbed.render(w, h, camera_matrix=cam)
-            finally:
-                self.testbed.render_quality = prev_q
+            frame = self.testbed.render(w, h, camera_matrix=cam)
         rgb = np.clip(np.asarray(frame)[..., :3], 0, 1)
         buf = io.BytesIO()
         Image.fromarray((rgb * 255).astype(np.uint8)).save(
