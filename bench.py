@@ -325,12 +325,16 @@ def main():
         traceback.print_exc(file=sys.stderr)
         # The tunneled TPU worker intermittently crashes on the FIRST
         # dispatch of a fresh process when a previous heavy process
-        # left it wedged ("UNAVAILABLE: TPU worker process crashed");
-        # a brand-new process re-initializes it cleanly. Re-exec once.
-        if "UNAVAILABLE" in str(e) and not os.environ.get("BENCH_RETRIED"):
-            print("# TPU worker crash — re-executing bench once",
+        # left it wedged ("UNAVAILABLE: TPU worker process crashed"),
+        # and occasionally goes away for minutes. A brand-new process
+        # re-initializes it; re-exec with a backoff, a few times.
+        tries = int(os.environ.get("BENCH_RETRIED", "0"))
+        if "UNAVAILABLE" in str(e) and tries < 3:
+            wait = 60 * (tries + 1)
+            print(f"# TPU worker crash — retry {tries + 1}/3 after {wait}s",
                   file=sys.stderr, flush=True)
-            os.environ["BENCH_RETRIED"] = "1"
+            time.sleep(wait)
+            os.environ["BENCH_RETRIED"] = str(tries + 1)
             os.execv(sys.executable, [sys.executable] + sys.argv)
         try:
             result = bench_image()
