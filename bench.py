@@ -145,16 +145,24 @@ def bench_fox():
     except Exception as e:  # noqa: BLE001
         extras["render_mrays_per_s"] = {"error": str(e)[:120]}
     try:
-        extras["gigapixel"] = bench_gigapixel()
+        # baked-cache render throughput (nerf/baked.py): bake once for
+        # this camera, then measure steady-state frames at 256² and
+        # 1080p (the reference's interactive-render regime)
+        v = int(views[0])
+        t0 = time.time()
+        task._get_baked(origin=np.asarray(ds.xforms_start[v])[:, 3])
+        extras["render_mrays_per_s"]["bake_s"] = round(time.time() - t0, 2)
+        extras["render_mrays_per_s"]["baked"] = rays_per_s("baked")
+        kw = dict(focal_length=(ds.focal_lengths[v, 0], ds.focal_lengths[v, 1]),
+                  principal_point=tuple(ds.principal_points[v]),
+                  background=(0, 0, 0, 0), render_quality="baked")
+        task.render(1920, 1080, ds.xforms_start[v], **kw)  # compile
+        t0 = time.time()
+        task.render(1920, 1080, ds.xforms_start[v], **kw)
+        extras["render_mrays_per_s"]["baked_1080p"] = round(
+            1920 * 1080 / (time.time() - t0) / 1e6, 4)
     except Exception as e:  # noqa: BLE001
-        extras["gigapixel"] = {"error": str(e)[:120]}
-    for name, fn in (("sdf_armadillo", bench_sdf),
-                     ("volume_blob", bench_volume),
-                     ("image_albert", bench_albert)):
-        try:
-            extras[name] = fn()
-        except Exception as e:  # noqa: BLE001
-            extras[name] = {"error": str(e)[:120]}
+        extras["render_mrays_per_s"]["baked_error"] = str(e)[:120]
     if seconds_to_target is not None:
         return {
             "metric": "fox_nerf_seconds_to_30db_psnr",
@@ -312,13 +320,67 @@ def bench_image():
     }
 
 
+PHASES = {
+    # name -> (callable name, subprocess timeout seconds)
+    "fox": ("bench_fox", 5400),
+    "gigapixel": ("bench_gigapixel", 1800),
+    "sdf_armadillo": ("bench_sdf", 1500),
+    "volume_blob": ("bench_volume", 1200),
+    "image_albert": ("bench_albert", 900),
+}
+
+
+def orchestrate():
+    """Run each bench phase in its OWN subprocess, strictly
+    sequentially. The tunneled TPU admits exactly one client process
+    (concurrent clients deadlock on the chip lock), and a worker crash
+    kills every later dispatch in the same process — isolating phases
+    means one crash costs one phase, and each child can execv-retry
+    itself (see main's UNAVAILABLE handler). The orchestrator itself
+    never touches the device."""
+    import subprocess
+
+    merged = None
+    extras = {}
+    for phase, (_, tmo) in PHASES.items():
+        if phase != "fox" and not Path(FOX).exists():
+            continue  # image fallback mode: single phase only
+        env = dict(os.environ, BENCH_PHASE=phase, BENCH_RETRIED="0")
+        try:
+            # stdout captured for the JSON line; stderr inherited so
+            # phase progress streams live
+            r = subprocess.run(
+                [sys.executable, __file__], env=env, timeout=tmo,
+                stdout=subprocess.PIPE, text=True)
+            line = next((ln for ln in reversed(r.stdout.splitlines())
+                         if ln.startswith("{")), None)
+            out = json.loads(line) if line else {"error": "no output"}
+        except subprocess.TimeoutExpired:
+            out = {"error": f"phase timeout after {tmo}s"}
+        except Exception as e:  # noqa: BLE001
+            out = {"error": str(e)[:120]}
+        if phase == "fox":
+            merged = out
+        else:
+            extras[phase] = out
+    if merged is None or "metric" not in merged:
+        merged = {"metric": "bench_failed", "value": 0.0, "unit": "none",
+                  "vs_baseline": 0.0,
+                  "error": (merged or {}).get("error", "fox phase failed")}
+    merged.setdefault("extra", {}).update(extras)
+    print(json.dumps(merged))
+
+
 def main():
     faulthandler.register(signal.SIGUSR2, file=sys.stderr)
+    phase = os.environ.get("BENCH_PHASE")
+    if phase is None:
+        return orchestrate()
     try:
-        if Path(FOX).exists():
-            result = bench_fox()
+        if phase == "fox":
+            result = bench_fox() if Path(FOX).exists() else bench_image()
         else:
-            result = bench_image()
+            result = globals()[PHASES[phase][0]]()
     except Exception as e:  # noqa: BLE001
         import traceback
 
@@ -326,21 +388,28 @@ def main():
         # The tunneled TPU worker intermittently crashes on the FIRST
         # dispatch of a fresh process when a previous heavy process
         # left it wedged ("UNAVAILABLE: TPU worker process crashed"),
-        # and occasionally goes away for minutes. A brand-new process
-        # re-initializes it; re-exec with a backoff, a few times.
+        # and the tunnel occasionally goes unresponsive for 10+
+        # minutes. execv replaces this process (freeing its client —
+        # concurrent clients deadlock on the chip lock, so no probing
+        # from here) and re-initializes from scratch, with a growing
+        # backoff that outlasts the observed outages (~20 min total).
         tries = int(os.environ.get("BENCH_RETRIED", "0"))
-        if "UNAVAILABLE" in str(e) and tries < 3:
-            wait = 60 * (tries + 1)
-            print(f"# TPU worker crash — retry {tries + 1}/3 after {wait}s",
+        if "UNAVAILABLE" in str(e) and tries < 6:
+            wait = min(60 * (tries + 1), 300)
+            print(f"# TPU worker crash — retry {tries + 1}/6 after {wait}s",
                   file=sys.stderr, flush=True)
             time.sleep(wait)
             os.environ["BENCH_RETRIED"] = str(tries + 1)
             os.execv(sys.executable, [sys.executable] + sys.argv)
-        try:
-            result = bench_image()
-        except Exception:
-            result = {"metric": "bench_failed", "value": 0.0, "unit": "none",
-                      "vs_baseline": 0.0, "error": str(e)[:200]}
+        if phase == "fox":
+            try:
+                result = bench_image()
+            except Exception:
+                result = {"metric": "bench_failed", "value": 0.0,
+                          "unit": "none", "vs_baseline": 0.0,
+                          "error": str(e)[:200]}
+        else:
+            result = {"error": str(e)[:200]}
     print(json.dumps(result))
 
 

@@ -354,6 +354,12 @@ class NerfTask:
         # rays saturate opacity after a handful; K=8 lets early
         # termination kill rays before the network pays for the rest
         self.render_samples_per_window = 8
+        # baked-cache render mode (nerf/baked.py): one 64 B bf16 row
+        # per sample instead of the full model → eval is ~10× cheaper,
+        # so the window can be wider (fewer rounds, less host sync)
+        self.baked_samples_per_window = 16
+        self.baked_res0 = 256
+        self._baked_cache = None  # (key, BakedCache)
         # render-space controls (reference render_aabb crop box
         # testbed.h:708, near distance, DoF aperture/focus
         # init_rays_with_payload_kernel_nerf testbed_nerf.cu:1414-1528)
@@ -422,7 +428,9 @@ class NerfTask:
         self._jit_render_round = jax.jit(
             self._render_round, static_argnames=("compact",)
         )
-        self._jit_march_window = jax.jit(self._march_window)
+        self._jit_march_window = jax.jit(self._march_window,
+                                         static_argnames=("window",))
+        self._jit_render_round_baked = jax.jit(self._render_round_baked)
         self._jit_eval_composite = jax.jit(
             self._eval_and_composite, static_argnames=("compact", "fast")
         )
@@ -1104,7 +1112,39 @@ class NerfTask:
         self._brick_cache = (key, bricks)
         return bricks
 
-    def _march_window(self, grid_bits, o, d, t, alive, tmax):
+    def bake(self, origin=None, res0: int | None = None,
+             max_rows_log2: int = 21):
+        """Bake the current model into a BakedCache (nerf/baked.py):
+        packed 64 B records per occupied cell, rendered at ~2 gathers
+        per sample. origin: camera position for a per-frame
+        view-dependent bake (exact for primary rays up to one cell's
+        angular size); None bakes fixed-direction diffuse colors."""
+        from . import baked as _baked
+
+        params = self.opt.inference_params(self.state.opt_state,
+                                           self.state.params)
+        return _baked.bake(
+            self.model, params, np.asarray(self.state.grid.bitfield),
+            self.max_cascade + 1, self.aabb_min, self.aabb_max,
+            self.rgb_activation, self.density_activation,
+            origin=origin, res0=res0 or self.baked_res0,
+            max_rows_log2=max_rows_log2, bricks=self._get_bricks(params))
+
+    def _get_baked(self, origin=None):
+        """Per-(step, origin) bake cache: repeated renders of the same
+        frame (spp loops, throughput benches, the web viewer's orbit
+        pauses) reuse the bake; a new camera or training step rebakes."""
+        key = (self.training_step, self.baked_res0,
+               None if origin is None else
+               tuple(np.round(np.asarray(origin, np.float64), 4).tolist()))
+        c = self._baked_cache
+        if c is not None and c[0] == key:
+            return c[1]
+        cache = self.bake(origin=origin)
+        self._baked_cache = (key, cache)
+        return cache
+
+    def _march_window(self, grid_bits, o, d, t, alive, tmax, window=None):
         """March one K-sample window for the alive rays (dead rays are
         made inert by starting them at MAX_DEPTH — they'd otherwise
         keep emitting samples and probing the grid in lockstep).
@@ -1121,7 +1161,7 @@ class NerfTask:
             self.march_cfg,
             n_march_iters=min(self.march_cfg.n_march_iters,
                               self.render_march_iters),
-            max_samples_per_ray=self.render_samples_per_window,
+            max_samples_per_ray=window or self.render_samples_per_window,
         )
         aabb_min = jnp.asarray(self.aabb_min)
         aabb_max = jnp.asarray(self.aabb_max)
@@ -1195,12 +1235,37 @@ class NerfTask:
             out, ts, dts, valid, t, t_exit, T, rgb, depth, alive, tmax,
             cost, eps_t)
 
+    def _render_round_baked(self, cache, grid_bits, o, d, t, T, rgb, depth,
+                            alive, tmax, cost, eps_t):
+        """One baked render round: march + table lookup + composite in a
+        SINGLE dispatch (no sample-count readback, no compaction — the
+        baked eval is ~2 gathers/sample, cheaper than the bookkeeping
+        that earns its keep on the full model). The TPU recast of the
+        reference's fused render megakernel (render_nerf.cuh)."""
+        from .baked import query as baked_query
+
+        ts, dts, valid, t_exit, n_valid = self._march_window(
+            grid_bits, o, d, t, alive, tmax,
+            window=self.baked_samples_per_window)
+        R, K = ts.shape
+        pos = o[:, None, :] + ts[..., None] * d[:, None, :]
+        out = baked_query(cache, pos.reshape(-1, 3)).reshape(R, K, 4)
+        return self._composite_window(
+            out, ts, dts, valid, t, t_exit, T, rgb, depth, alive, tmax,
+            cost, eps_t, activated=True)
+
     def _composite_window(self, out, ts, dts, valid, t, t_exit, T, rgb, depth,
-                          alive, tmax, cost=None, eps_t=EPS_T):
-        rgb_s = network_to_rgb(out[..., :3].astype(jnp.float32), self.rgb_activation)
-        sigma = network_to_density(
-            out[..., 3].astype(jnp.float32), self.density_activation
-        )
+                          alive, tmax, cost=None, eps_t=EPS_T,
+                          activated=False):
+        if activated:  # baked-cache rows store post-activation values
+            rgb_s = out[..., :3].astype(jnp.float32)
+            sigma = out[..., 3].astype(jnp.float32)
+        else:
+            rgb_s = network_to_rgb(out[..., :3].astype(jnp.float32),
+                                   self.rgb_activation)
+            sigma = network_to_density(
+                out[..., 3].astype(jnp.float32), self.density_activation
+            )
         sigma = jnp.where(valid, sigma, 0.0)
         tau = sigma * dts
         T_cum = T[:, None] * jnp.exp(-jnp.cumsum(tau, axis=-1) + tau)
@@ -1224,7 +1289,8 @@ class NerfTask:
         return t_exit, T_new, rgb, depth, alive, cost
 
     def _render_rays(self, params, grid_bits, o, d, key=None, max_rounds: int = 64,
-                     bricks=None, tminmax=None, fast: bool = False):
+                     bricks=None, tminmax=None, fast: bool = False,
+                     baked_cache=None):
         """Render rays to (rgb, alpha, depth): host loop over jitted
         march+composite rounds with alive-ray compaction between rounds
         (the reference's compact_kernel_nerf, recast as host-side
@@ -1287,6 +1353,15 @@ class NerfTask:
                     (o_c, d_c, t_c, tmax_c, T_c, rgb_c, depth_c, cost_c),
                     jnp.asarray(take, jnp.int32))
                 alive_c = jnp.asarray(valid)
+            if baked_cache is not None:
+                # baked mode: march+lookup+composite fused in ONE
+                # dispatch (no sample-count readback needed)
+                (t_c, T_c, rgb_c, depth_c, alive_c, cost_c
+                 ) = self._jit_render_round_baked(
+                    baked_cache, grid_bits, o_c, d_c, t_c, T_c, rgb_c,
+                    depth_c, alive_c, tmax_c, cost_c,
+                    jnp.float32(self.min_transmittance))
+                continue
             # Two dispatches per round: march, then network+composite
             # with a capacity sized from the MEASURED sample count (a
             # scalar readback — the alive-count readback already syncs
@@ -1366,6 +1441,10 @@ class NerfTask:
         params = self.opt.inference_params(self.state.opt_state, self.state.params)
         grid_bits = self.state.grid.skipmip
         bricks = self._get_bricks(params)
+        baked_cache = None
+        if render_quality == "baked":
+            baked_cache = self._get_baked(
+                origin=np.asarray(camera_matrix, np.float32)[:, 3])
 
         chunk = 1 << 16
         n = xs.shape[0]
@@ -1437,7 +1516,7 @@ class NerfTask:
                     tminmax = (tmin, tmax)
                 rgb, alpha, depth, cost = self._render_rays(
                     params, grid_bits, o, d, bricks=bricks, tminmax=tminmax,
-                    fast=(render_quality == "fast"))
+                    fast=(render_quality == "fast"), baked_cache=baked_cache)
                 if render_mode == "shade" and self.train_envmap and \
                         "envmap" in self.state.cam:
                     ev = _read_envmap(self.state.cam["envmap"], d)
