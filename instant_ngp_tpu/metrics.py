@@ -37,85 +37,168 @@ def smape(ref, img):
     return float(np.mean(2.0 * np.abs(img - ref) / (np.abs(ref) + np.abs(img) + 1e-2)))
 
 
-def flip(reference, test, ppd: float = 67.0) -> float:
-    """Mean ꟻLIP error (LDR-FLIP, Andersson et al. 2020) — the metric
-    scripts/common.py exposes via the vendored scripts/flip/.
+# ---------------------------------------------------------------------------
+# Exact LDR-ꟻLIP (Andersson, Nilsson, Akenine-Möller, Oskarsson, Åström,
+# Fairchild — "FLIP: A Difference Evaluator for Alternating Images", HPG
+# 2020). Numerically matches the evaluator the reference vendors at
+# scripts/flip/ (used by scripts/run.py --test_transforms); all constants
+# are the published algorithm's. Implemented HWC with separable 1-D
+# convolutions (the paper's CSF kernels are sums of separable Gaussians,
+# and its edge/point detectors factor as h(x)·g(y)), so the hot path is
+# scipy.ndimage.convolve1d instead of dense 2-D convolution.
+# ---------------------------------------------------------------------------
 
-    Compact implementation: sRGB → linear → YCxCz opponent space,
-    per-channel spatial CSF filtering (Gaussian approximations of the
-    achromatic/chromatic CSFs at `ppd` pixels-per-degree), HyAB color
-    difference with the FLIP redistribution exponent, combined with a
-    feature (edge/point) difference term.
-    """
-    import numpy as np
+# sRGB→XYZ (D65) — exact rational form of the sRGB standard matrix
+_RGB2XYZ = np.array([
+    [10135552 / 24577794, 8788810 / 24577794, 4435075 / 24577794],
+    [2613072 / 12288897, 8788810 / 12288897, 887015 / 12288897],
+    [1425312 / 73733382, 8788810 / 73733382, 70074185 / 73733382],
+])
+_WHITE = _RGB2XYZ.sum(1)  # XYZ of linear-RGB (1,1,1)
 
-    def srgb2lin(c):
-        c = np.clip(np.asarray(c, np.float64), 0, 1)
-        return np.where(c < 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+# CSF parameters per opponent channel: (a1, b1, a2, b2) — the paper's
+# fitted sums of two Gaussians for achromatic / red-green / blue-yellow
+_CSF = {
+    "A": (1.0, 0.0047, 0.0, 1e-5),
+    "RG": (1.0, 0.0053, 0.0, 1e-5),
+    "BY": (34.1, 0.04, 13.5, 0.025),
+}
 
-    def lin2xyz(c):
-        m = np.array([
-            [0.4124, 0.3576, 0.1805],
-            [0.2126, 0.7152, 0.0722],
-            [0.0193, 0.1192, 0.9505],
-        ])
-        return c @ m.T
 
-    def xyz2ycxcz(c):
-        ref = np.array([0.9505, 1.0, 1.0888])
-        c = c / ref
-        y = 116.0 * c[..., 1] - 16.0
-        cx = 500.0 * (c[..., 0] - c[..., 1])
-        cz = 200.0 * (c[..., 1] - c[..., 2])
-        return np.stack([y, cx, cz], -1)
+def _srgb_to_linear(c):
+    c = np.asarray(c, np.float64)
+    return np.where(c > 0.04045, ((c + 0.055) / 1.055) ** 2.4, c / 12.92)
 
-    def gauss_blur(img, sigma):
-        if sigma <= 0:
-            return img
-        r = max(1, int(3 * sigma))
-        x = np.arange(-r, r + 1)
-        g = np.exp(-(x**2) / (2 * sigma**2))
-        g /= g.sum()
-        out = np.apply_along_axis(lambda m: np.convolve(m, g, mode="same"), 0, img)
-        out = np.apply_along_axis(lambda m: np.convolve(m, g, mode="same"), 1, out)
-        return out
 
-    def hunt(ycc):
-        # Hunt adjustment: scale chroma by luminance
-        l = 0.01 * ycc[..., 0]
-        return np.stack([ycc[..., 0], l * ycc[..., 1], l * ycc[..., 2]], -1)
+def _linear_to_ycxcz(rgb):
+    xyz = rgb @ _RGB2XYZ.T / _WHITE
+    y = 116.0 * xyz[..., 1] - 16.0
+    cx = 500.0 * (xyz[..., 0] - xyz[..., 1])
+    cz = 200.0 * (xyz[..., 1] - xyz[..., 2])
+    return np.stack([y, cx, cz], -1)
 
-    ref = xyz2ycxcz(lin2xyz(srgb2lin(reference[..., :3])))
-    tst = xyz2ycxcz(lin2xyz(srgb2lin(test[..., :3])))
 
-    # CSF filtering: Gaussian stddevs (in pixels) approximating the
-    # achromatic / red-green / blue-yellow CSFs at the given ppd
-    sigmas = np.array([0.0047, 0.0053, 0.04]) * ppd
-    ref_f = np.stack([gauss_blur(ref[..., i], sigmas[i]) for i in range(3)], -1)
-    tst_f = np.stack([gauss_blur(tst[..., i], sigmas[i]) for i in range(3)], -1)
-    ref_h, tst_h = hunt(ref_f), hunt(tst_f)
+def _ycxcz_to_linear(ycc):
+    y = (ycc[..., 0] + 16.0) / 116.0
+    x = y + ycc[..., 1] / 500.0
+    z = y - ycc[..., 2] / 200.0
+    xyz = np.stack([x, y, z], -1) * _WHITE
+    return xyz @ np.linalg.inv(_RGB2XYZ).T
 
-    # HyAB color difference, normalized + redistributed
-    d = np.abs(ref_h[..., 0] - tst_h[..., 0]) + np.sqrt(
-        (ref_h[..., 1] - tst_h[..., 1]) ** 2 + (ref_h[..., 2] - tst_h[..., 2]) ** 2
-    )
-    cmax = 203.0  # max HyAB over the sRGB gamut after Hunt adjustment
-    pc, pt, qc = 0.4, 0.95, 0.7
-    d = (d / cmax) ** qc
-    color_err = np.where(
-        d < pc, (pt / pc) * d, pt + ((d - pc) / (1 - pc)) * (1 - pt)
-    )
 
-    # feature difference: edge/point detector on luminance
+def _linear_to_lab(rgb):
+    xyz = rgb @ _RGB2XYZ.T / _WHITE
+    delta, limit = 6.0 / 29.0, 0.00885
+    f = np.where(xyz > limit, np.cbrt(xyz),
+                 xyz / (3.0 * delta * delta) + 4.0 / 29.0)
+    l_ = 116.0 * f[..., 1] - 16.0
+    a = 500.0 * (f[..., 0] - f[..., 1])
+    b = 200.0 * (f[..., 1] - f[..., 2])
+    return np.stack([l_, a, b], -1)
+
+
+def _hunt(lab):
+    """Hunt adjustment: chroma scaled by 0.01·L (paper eq. for
+    perceptually uniform space)."""
+    l_ = lab[..., 0]
+    return np.stack([l_, 0.01 * l_ * lab[..., 1], 0.01 * l_ * lab[..., 2]], -1)
+
+
+def _hyab(a, b):
+    d = a - b
+    return np.abs(d[..., 0]) + np.hypot(d[..., 1], d[..., 2])
+
+
+def _conv_sep(img, kx, ky):
+    """2-D convolution by separable 1-D kernels with edge ('nearest')
+    padding, matching the paper code's edge-padded convolve2d."""
+    from scipy.ndimage import convolve1d
+
+    out = convolve1d(img, kx, axis=1, mode="nearest")
+    return convolve1d(out, ky, axis=0, mode="nearest")
+
+
+def _csf_filtered(ycc, ppd):
+    """Per-channel CSF filtering in YCxCz, then clamp in linear RGB —
+    the paper's spatial_filter. Kernel radius is shared across channels
+    (set by the widest scale parameter, b=0.04)."""
+    r = int(np.ceil(3.0 * np.sqrt(0.04 / (2.0 * np.pi**2)) * ppd))
+    x = np.arange(-r, r + 1, dtype=np.float64) / ppd
+    out = np.empty_like(ycc)
+    for ch, name in enumerate(("A", "RG", "BY")):
+        a1, b1, a2, b2 = _CSF[name]
+        # each term a·sqrt(pi/b)·exp(-pi²(x²+y²)/b) factors into
+        # 1-D Gaussians; the final kernel is normalized by its total sum
+        g1 = np.exp(-np.pi**2 * x**2 / b1)
+        g2 = np.exp(-np.pi**2 * x**2 / b2)
+        w1 = a1 * np.sqrt(np.pi / b1)
+        w2 = a2 * np.sqrt(np.pi / b2)
+        total = w1 * g1.sum() ** 2 + w2 * g2.sum() ** 2
+        f = (w1 * _conv_sep(ycc[..., ch], g1, g1)
+             + w2 * _conv_sep(ycc[..., ch], g2, g2))
+        out[..., ch] = f / total
+    return np.clip(_ycxcz_to_linear(out), 0.0, 1.0)
+
+
+def _features(y, ppd, kind):
+    """Edge / point feature maps of the achromatic channel: the paper's
+    Gaussian-derivative detectors with positive and negative lobes
+    separately normalized (they factor over x/y since the lobe sign
+    depends on x alone). Returns (H, W) feature magnitude."""
+    w = 0.082
+    sd = 0.5 * w * ppd
+    r = int(np.ceil(3.0 * sd))
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    g = np.exp(-(x**2) / (2.0 * sd * sd))
+    h = -x * g if kind == "edge" else (x**2 / (sd * sd) - 1.0) * g
+    hn = np.where(h < 0, h / max(-h[h < 0].sum(), 1e-30),
+                  h / max(h[h > 0].sum(), 1e-30))
+    gn = g / g.sum()
+    fx = _conv_sep(y, hn, gn)
+    fy = _conv_sep(y, gn, hn)
+    return np.hypot(fx, fy)
+
+
+def flip_map(reference, test, ppd: float | None = None) -> np.ndarray:
+    """Per-pixel LDR-ꟻLIP error map for sRGB images in [0,1] (H, W, 3+).
+
+    ppd defaults to the paper's viewing conditions (0.7 m distance,
+    0.7 m-wide 3840-px monitor → ~67 pixels per degree)."""
+    if ppd is None:
+        ppd = 0.7 * (3840 / 0.7) * (np.pi / 180.0)
+    qc, qf, pc, pt = 0.7, 0.5, 0.4, 0.95
+
+    ref = _linear_to_ycxcz(_srgb_to_linear(
+        np.clip(np.asarray(reference, np.float64)[..., :3], 0, 1)))
+    tst = _linear_to_ycxcz(_srgb_to_linear(
+        np.clip(np.asarray(test, np.float64)[..., :3], 0, 1)))
+
+    # --- color pipeline: CSF filter → Lab+Hunt → HyAB → redistribute
+    ref_h = _hunt(_linear_to_lab(_csf_filtered(ref, ppd)))
+    tst_h = _hunt(_linear_to_lab(_csf_filtered(tst, ppd)))
+    delta_c = _hyab(ref_h, tst_h) ** qc
+    green = _hunt(_linear_to_lab(np.array([[[0.0, 1.0, 0.0]]])))
+    blue = _hunt(_linear_to_lab(np.array([[[0.0, 0.0, 1.0]]])))
+    cmax = float((_hyab(green, blue) ** qc).item())
+    pccmax = pc * cmax
+    delta_c = np.where(
+        delta_c < pccmax, (pt / pccmax) * delta_c,
+        pt + ((delta_c - pccmax) / (cmax - pccmax)) * (1.0 - pt))
+
+    # --- feature pipeline on normalized luminance
     y_ref = (ref[..., 0] + 16.0) / 116.0
     y_tst = (tst[..., 0] + 16.0) / 116.0
-    sigma_f = 0.5 * 0.082 * ppd
-    e_ref = np.abs(gauss_blur(y_ref, sigma_f) - y_ref)
-    e_tst = np.abs(gauss_blur(y_tst, sigma_f) - y_tst)
-    feat_err = np.clip(np.abs(e_ref - e_tst) * (1.0 / 0.2), 0, 1) ** 0.5
+    delta_f = np.maximum(
+        np.abs(_features(y_ref, ppd, "edge") - _features(y_tst, ppd, "edge")),
+        np.abs(_features(y_tst, ppd, "point") - _features(y_ref, ppd, "point")))
+    delta_f = (delta_f / np.sqrt(2.0)) ** qf
 
-    err = color_err ** (1.0 - feat_err)
-    return float(np.mean(err))
+    return delta_c ** (1.0 - delta_f)
+
+
+def flip(reference, test, ppd: float | None = None) -> float:
+    """Mean LDR-ꟻLIP error (see flip_map)."""
+    return float(np.mean(flip_map(reference, test, ppd)))
 
 
 def ssim(a, b, data_range: float = 1.0) -> float:
