@@ -340,11 +340,35 @@ def orchestrate():
     never touches the device."""
     import subprocess
 
+    def wait_device(deadline_s=900):
+        """Probe the TPU with a throwaway subprocess until it answers.
+        The worker reliably crashes on the FIRST dispatch of a fresh
+        process after a heavy process exits — a probe absorbs that
+        crash (and waits out tunnel outages) so the next real phase
+        starts on a healthy worker."""
+        probe = "import jax, jax.numpy as jnp; print(float(jnp.ones(8).sum()))"
+        t0 = time.time()
+        while time.time() - t0 < deadline_s:
+            try:
+                if subprocess.run([sys.executable, "-c", probe],
+                                  timeout=120,
+                                  capture_output=True).returncode == 0:
+                    return
+            except subprocess.TimeoutExpired:
+                pass
+            print("# device probe failed; waiting 30s",
+                  file=sys.stderr, flush=True)
+            time.sleep(30)
+
     merged = None
     extras = {}
+    first = True
     for phase, (_, tmo) in PHASES.items():
         if phase != "fox" and not Path(FOX).exists():
             continue  # image fallback mode: single phase only
+        if not first:
+            wait_device()
+        first = False
         env = dict(os.environ, BENCH_PHASE=phase, BENCH_RETRIED="0")
         try:
             # stdout captured for the JSON line; stderr inherited so

@@ -35,6 +35,7 @@ per-mip offsets so the per-sample mip stays a traced value.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -108,8 +109,9 @@ def bake(
     origin: np.ndarray | None = None,
     res0: int = 256,
     max_rows_log2: int = 21,
-    chunk: int = 1 << 16,
+    chunk: int = 1 << 18,
     bricks=None,
+    eval_fn=None,
 ) -> BakedCache:
     """Bake the model into a BakedCache.
 
@@ -167,41 +169,31 @@ def bake(
                              + cells[:, 1]) * n_per + cells[:, 2])
     index[flat] = np.arange(n_rows, dtype=np.int32)
 
-    # corner evaluation: 8 corners per cell, chunked through one jitted
-    # program (fixed chunk size -> one compile)
-    dc = np.array([[(c >> 2) & 1, (c >> 1) & 1, c & 1] for c in range(8)],
-                  np.float32)  # matches query's 4*dx+2*dy+dz order
-
-    @jax.jit
-    def eval_chunk(pos_w, dirs):
-        out = model(params, pos_w, warp_direction(dirs), bricks=bricks)
-        rgb = network_to_rgb(out[:, :3].astype(jnp.float32), rgb_activation)
-        sigma = network_to_density(out[:, 3].astype(jnp.float32),
-                                   density_activation)
-        return jnp.concatenate([rgb, sigma[:, None]], -1)
+    # corner evaluation: 8 corners per cell, corner positions and
+    # directions built ON DEVICE (the first bake did this in host
+    # numpy and it dominated the bake time), chunked through one
+    # jitted program; results fetched once at the end
+    if eval_fn is None:
+        eval_fn = make_bake_eval(model, rgb_activation, density_activation)
+    cells_per_chunk = max(chunk // 8, 1)
+    n_chunks = max((n_rows + cells_per_chunk - 1) // cells_per_chunk, 1)
+    pad = n_chunks * cells_per_chunk - n_rows
+    cells_d = jnp.asarray(np.pad(cells, ((0, pad), (0, 0))))
+    mips_d = jnp.asarray(np.pad(mips, (0, pad)))
+    origin_d = (jnp.asarray(origin, jnp.float32) if origin is not None
+                else jnp.asarray(FIXED_BAKE_DIR))
+    res_d = jnp.asarray(res, jnp.int32)
+    aabb = (jnp.asarray(aabb_min), jnp.asarray(aabb_max))
+    outs = [
+        eval_fn(params, bricks, cells_d[s : s + cells_per_chunk],
+                mips_d[s : s + cells_per_chunk], res_d, aabb, origin_d,
+                origin is not None)
+        for s in range(0, n_chunks * cells_per_chunk, cells_per_chunk)
+    ]
+    table = np.asarray(jnp.concatenate(outs))[:n_rows]  # ONE device fetch
 
     rows_cap = max(1024, 1 << int(np.ceil(np.log2(max(n_rows, 1)))))
-    table = np.zeros((rows_cap, 8, 4), np.float32)
-    cells_f = cells.astype(np.float32)
-    scale = np.exp2(mips.astype(np.float32))
-    fixed_dir = FIXED_BAKE_DIR
-    cells_per_chunk = max(chunk // 8, 1)
-    for s in range(0, n_rows, cells_per_chunk):
-        e = min(s + cells_per_chunk, n_rows)
-        npad = cells_per_chunk - (e - s)
-        # corner world positions: ((i+dc)/N - 0.5) * 2^m + 0.5
-        corner = (cells_f[s:e, None, :] + dc[None]) / n_per[s:e, None, None]
-        world = (corner - 0.5) * scale[s:e, None, None] + 0.5
-        world = np.pad(world, ((0, npad), (0, 0), (0, 0))).reshape(-1, 3)
-        pos_w = (world - aabb_min) / (aabb_max - aabb_min)
-        if origin is not None:
-            d = world - np.asarray(origin, np.float32)
-            d /= np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
-        else:
-            d = np.broadcast_to(fixed_dir, world.shape)
-        out = np.asarray(eval_chunk(jnp.asarray(pos_w), jnp.asarray(d)))
-        table[s:e] = out.reshape(-1, 8, 4)[: e - s]
-
+    table = np.pad(table, ((0, rows_cap - n_rows), (0, 0), (0, 0)))
     return BakedCache(
         index=jnp.asarray(index),
         table=jnp.asarray(table.reshape(rows_cap, 32), jnp.bfloat16),
@@ -210,3 +202,38 @@ def bake(
         n_cascades=n_cascades,
         n_rows=n_rows,
     )
+
+
+def make_bake_eval(model, rgb_activation, density_activation):
+    """Jitted per-chunk corner evaluator (cells → activated records).
+    Built once per model and reused across bakes (see NerfTask.bake) —
+    rebuilding it per bake() recompiles every time."""
+
+    @functools.partial(jax.jit, static_argnums=(7,))
+    def eval_chunk(params, bricks, cells, mips, res, aabb, origin_or_dir,
+                   use_origin: bool):
+        aabb_min, aabb_max = aabb
+        n_per = jnp.take(res, mips).astype(jnp.float32)  # (C,)
+        dc = jnp.asarray(
+            [[(c >> 2) & 1, (c >> 1) & 1, c & 1] for c in range(8)],
+            jnp.float32)  # matches query's 4*dx+2*dy+dz corner order
+        # corner world positions: ((i+dc)/N - 0.5) * 2^m + 0.5
+        corner = (cells.astype(jnp.float32)[:, None, :] + dc[None]
+                  ) / n_per[:, None, None]
+        world = ((corner - 0.5)
+                 * jnp.exp2(mips.astype(jnp.float32))[:, None, None] + 0.5
+                 ).reshape(-1, 3)
+        pos_w = (world - aabb_min) / (aabb_max - aabb_min)
+        if use_origin:
+            d = world - origin_or_dir
+            d = d / jnp.maximum(
+                jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+        else:
+            d = jnp.broadcast_to(origin_or_dir, world.shape)
+        out = model(params, pos_w, warp_direction(d), bricks=bricks)
+        rgb = network_to_rgb(out[:, :3].astype(jnp.float32), rgb_activation)
+        sigma = network_to_density(out[:, 3].astype(jnp.float32),
+                                   density_activation)
+        return jnp.concatenate([rgb, sigma[:, None]], -1).reshape(-1, 8, 4)
+
+    return eval_chunk

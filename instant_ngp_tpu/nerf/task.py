@@ -431,6 +431,8 @@ class NerfTask:
         self._jit_march_window = jax.jit(self._march_window,
                                          static_argnames=("window",))
         self._jit_render_round_baked = jax.jit(self._render_round_baked)
+        self._jit_render_round_baked2 = jax.jit(self._render_round_baked2)
+        self._bake_eval = None  # model may have changed; rebuild lazily
         self._jit_eval_composite = jax.jit(
             self._eval_and_composite, static_argnames=("compact", "fast")
         )
@@ -1123,12 +1125,16 @@ class NerfTask:
 
         params = self.opt.inference_params(self.state.opt_state,
                                            self.state.params)
+        if getattr(self, "_bake_eval", None) is None:
+            self._bake_eval = _baked.make_bake_eval(
+                self.model, self.rgb_activation, self.density_activation)
         return _baked.bake(
             self.model, params, np.asarray(self.state.grid.bitfield),
             self.max_cascade + 1, self.aabb_min, self.aabb_max,
             self.rgb_activation, self.density_activation,
             origin=origin, res0=res0 or self.baked_res0,
-            max_rows_log2=max_rows_log2, bricks=self._get_bricks(params))
+            max_rows_log2=max_rows_log2, bricks=self._get_bricks(params),
+            eval_fn=self._bake_eval)
 
     def _get_baked(self, origin=None):
         """Per-(step, origin) bake cache: repeated renders of the same
@@ -1254,6 +1260,19 @@ class NerfTask:
             out, ts, dts, valid, t, t_exit, T, rgb, depth, alive, tmax,
             cost, eps_t, activated=True)
 
+    def _render_round_baked2(self, cache, grid_bits, o, d, t, T, rgb, depth,
+                             alive, tmax, cost, eps_t):
+        """Two baked rounds in one dispatch: with the eval this cheap,
+        the per-dispatch host sync (~tens of ms through the tunneled
+        device) outweighs the wasted second round for rays that die in
+        the first — halving dispatches wins."""
+        args = (t, T, rgb, depth, alive, tmax, cost, eps_t)
+        t, T, rgb, depth, alive, cost = self._render_round_baked(
+            cache, grid_bits, o, d, *args)
+        return self._render_round_baked(
+            cache, grid_bits, o, d, t, T, rgb, depth, alive, tmax, cost,
+            eps_t)
+
     def _composite_window(self, out, ts, dts, valid, t, t_exit, T, rgb, depth,
                           alive, tmax, cost=None, eps_t=EPS_T,
                           activated=False):
@@ -1354,10 +1373,11 @@ class NerfTask:
                     jnp.asarray(take, jnp.int32))
                 alive_c = jnp.asarray(valid)
             if baked_cache is not None:
-                # baked mode: march+lookup+composite fused in ONE
-                # dispatch (no sample-count readback needed)
+                # baked mode: TWO march+lookup+composite rounds fused in
+                # ONE dispatch (no sample-count readback needed; see
+                # _render_round_baked2 on why unrolling wins)
                 (t_c, T_c, rgb_c, depth_c, alive_c, cost_c
-                 ) = self._jit_render_round_baked(
+                 ) = self._jit_render_round_baked2(
                     baked_cache, grid_bits, o_c, d_c, t_c, T_c, rgb_c,
                     depth_c, alive_c, tmax_c, cost_c,
                     jnp.float32(self.min_transmittance))
@@ -1389,9 +1409,11 @@ class NerfTask:
         return (jnp.asarray(rgb_out), 1.0 - jnp.asarray(T_out),
                 jnp.asarray(depth_out), jnp.asarray(cost_out))
 
-    def _render_rays_nokey(self, params, grid_bits, o, d, n_rounds: int = 4):
+    def _render_rays_nokey(self, params, grid_bits, o, d, n_rounds: int = 4,
+                           baked_cache=None):
         """Fixed-round render (traceable: no host sync) for shard_map /
-        pjit pixel-parallel rendering."""
+        pjit pixel-parallel rendering. With baked_cache, rounds use the
+        baked-table lookup instead of the model (nerf/baked.py)."""
         aabb_min = jnp.asarray(self.aabb_min)
         aabb_max = jnp.asarray(self.aabb_max)
         tmin, tmax = _aabb_entry(o, d, aabb_min, aabb_max)
@@ -1401,10 +1423,15 @@ class NerfTask:
         alive = tmax > tmin
         cost = jnp.zeros((R,))
         for _ in range(n_rounds):
-            t, T, rgb, depth, alive, cost = self._render_round(
-                params, grid_bits, o, d, t, T, rgb, depth, alive, tmax,
-                cost, jnp.float32(self.min_transmittance),
-            )
+            if baked_cache is not None:
+                t, T, rgb, depth, alive, cost = self._render_round_baked(
+                    baked_cache, grid_bits, o, d, t, T, rgb, depth, alive,
+                    tmax, cost, jnp.float32(self.min_transmittance))
+            else:
+                t, T, rgb, depth, alive, cost = self._render_round(
+                    params, grid_bits, o, d, t, T, rgb, depth, alive, tmax,
+                    cost, jnp.float32(self.min_transmittance),
+                )
         return rgb, 1.0 - T, depth
 
     def render(
@@ -1446,8 +1473,14 @@ class NerfTask:
             baked_cache = self._get_baked(
                 origin=np.asarray(camera_matrix, np.float32)[:, 3])
 
-        chunk = 1 << 16
+        # baked renders use up to 4× larger ray chunks: the per-chunk
+        # round loop pays host sync per dispatch, and the cheap baked
+        # eval makes that overhead dominate at high resolutions
         n = xs.shape[0]
+        if baked_cache is not None:
+            chunk = min(1 << 18, max(1024, 1 << int(math.ceil(math.log2(n)))))
+        else:
+            chunk = 1 << 16
         n_pad = (n + chunk - 1) // chunk * chunk
         from ..common import LensMode
         from ..render.camera import uv_to_ray_cam
