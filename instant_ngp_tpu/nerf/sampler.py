@@ -40,6 +40,10 @@ class MarchConfig:
     cone_angle: float = 1.0 / 256.0
     min_mip: int = 0
     max_mip: int = 0  # max cascade index (set from dataset aabb_scale)
+    # step-size multiplier: baked-cache rendering steps at the cache's
+    # cell size (the baked field is trilinear per cell — sub-cell steps
+    # buy no detail, only more table gathers)
+    dt_scale: float = 1.0
 
 
 def march_rays(
@@ -114,7 +118,7 @@ def march_rays(
         pos = o + t[:, None] * d
         ok = inside(pos) & (t < MAX_DEPTH) & (n_emitted < K)
 
-        dt = calc_dt(t, ca)
+        dt = calc_dt(t, ca) * cfg.dt_scale
         mip = jnp.clip(
             mip_from_dt(dt, pos, cfg.max_mip), cfg.min_mip, cfg.max_mip
         )
@@ -149,5 +153,5 @@ def march_rays(
         jax.lax.broadcasted_iota(jnp.int32, (R, K), 1) < n_valid[:, None]
     )
     ts = jnp.where(valid, ts, 0.0)
-    dts = jnp.where(valid, calc_dt(ts, ca), 0.0)
+    dts = jnp.where(valid, calc_dt(ts, ca) * cfg.dt_scale, 0.0)
     return ts, dts, valid, t_exit, n_valid

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..common import (
+    MIN_CONE_STEPSIZE,
     NERF_CASCADES,
     NERF_GRIDSIZE,
     NERF_MIN_OPTICAL_THICKNESS,
@@ -149,6 +150,9 @@ class NerfTask:
         )
         self.n_rays_per_batch = n_rays_per_batch
         self.target_batch_size = target_batch_size
+        # adaptive ray-count cap (log2): every bucket shape compiles
+        # each train program once, so the set is kept small by default
+        self.max_ray_bucket_log2 = 13
         self.random_bg_color = True
         self.snap_to_pixel_centers = True
         # depth supervision (reference depth_supervision_lambda,
@@ -359,6 +363,12 @@ class NerfTask:
         # so the window can be wider (fewer rounds, less host sync)
         self.baked_samples_per_window = 16
         self.baked_res0 = 256
+        # baked marching steps at the cache's cell size (1/res0 world
+        # units at mip 0): the baked field is trilinear per cell, so
+        # sub-cell steps buy no detail — only more table gathers. ~2.3×
+        # fewer samples/ray vs the training step √3/1024.
+        self.baked_dt_scale = max(1.0, (1.0 / self.baked_res0)
+                                  / MIN_CONE_STEPSIZE)
         self._baked_cache = None  # (key, BakedCache)
         # render-space controls (reference render_aabb crop box
         # testbed.h:708, near distance, DoF aperture/focus
@@ -428,8 +438,8 @@ class NerfTask:
         self._jit_render_round = jax.jit(
             self._render_round, static_argnames=("compact",)
         )
-        self._jit_march_window = jax.jit(self._march_window,
-                                         static_argnames=("window",))
+        self._jit_march_window = jax.jit(
+            self._march_window, static_argnames=("window", "dt_scale"))
         self._jit_render_round_baked = jax.jit(self._render_round_baked)
         self._jit_render_round_baked2 = jax.jit(self._render_round_baked2)
         self._bake_eval = None  # model may have changed; rebuild lazily
@@ -1047,7 +1057,9 @@ class NerfTask:
                     # rays so that VALID samples ≈ half the target batch
                     sample_target = self.target_batch_size // 2
                     want = sample_target / max(fill * K, 1e-3)
-                    bucket = 1 << int(np.clip(np.round(np.log2(max(want, 1.0))), 11, 13))
+                    bucket = 1 << int(np.clip(
+                        np.round(np.log2(max(want, 1.0))), 11,
+                        self.max_ray_bucket_log2))
                     self._n_rays_current = int(bucket)
             if (
                 self.exact_corners_after is not None
@@ -1150,7 +1162,8 @@ class NerfTask:
         self._baked_cache = (key, cache)
         return cache
 
-    def _march_window(self, grid_bits, o, d, t, alive, tmax, window=None):
+    def _march_window(self, grid_bits, o, d, t, alive, tmax, window=None,
+                      dt_scale=1.0):
         """March one K-sample window for the alive rays (dead rays are
         made inert by starting them at MAX_DEPTH — they'd otherwise
         keep emitting samples and probing the grid in lockstep).
@@ -1168,6 +1181,7 @@ class NerfTask:
             n_march_iters=min(self.march_cfg.n_march_iters,
                               self.render_march_iters),
             max_samples_per_ray=window or self.render_samples_per_window,
+            dt_scale=dt_scale,
         )
         aabb_min = jnp.asarray(self.aabb_min)
         aabb_max = jnp.asarray(self.aabb_max)
@@ -1252,7 +1266,8 @@ class NerfTask:
 
         ts, dts, valid, t_exit, n_valid = self._march_window(
             grid_bits, o, d, t, alive, tmax,
-            window=self.baked_samples_per_window)
+            window=self.baked_samples_per_window,
+            dt_scale=self.baked_dt_scale)
         R, K = ts.shape
         pos = o[:, None, :] + ts[..., None] * d[:, None, :]
         out = baked_query(cache, pos.reshape(-1, 3)).reshape(R, K, 4)
@@ -1360,7 +1375,14 @@ class NerfTask:
             # bucket shape compiles once, and the serial remote
             # compile service makes every extra shape cost minutes
             b = int(np.ceil(np.log2(max(n_alive, 1))))
-            bucket = max(1024, 1 << (((b + 1) // 2) * 2))
+            if baked_cache is not None:
+                # baked rounds compile ONE program per bucket (no
+                # (bucket, capacity) matrix like the exact path), so
+                # every-pow2 buckets are affordable — and dead lanes
+                # pay full table-lookup cost, so tight packing matters
+                bucket = max(1024, 1 << b)
+            else:
+                bucket = max(1024, 1 << (((b + 1) // 2) * 2))
             if bucket < len(idx):
                 writeback(~alive_np)
                 sel = np.nonzero(alive_np)[0]
