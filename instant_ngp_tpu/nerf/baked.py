@@ -108,7 +108,7 @@ def bake(
     density_activation,
     origin: np.ndarray | None = None,
     res0: int = 256,
-    max_rows_log2: int = 21,
+    max_rows_log2: int = 22,
     chunk: int = 1 << 18,
     bricks=None,
     eval_fn=None,
@@ -134,14 +134,21 @@ def bake(
         return occ.reshape(n, f, n, f, n, f).any((1, 3, 5))
 
     # choose per-mip resolutions: requested res0 for the finest mip, G
-    # for the rest — degraded together (halved) until the row cap fits,
-    # so a dense early-training grid bakes coarse instead of silently
-    # dropping cells (which would hole the render)
+    # for the rest — degraded until the row cap fits, so a dense
+    # early-training grid bakes coarse instead of silently dropping
+    # cells (which would hole the render). Outer cascades degrade
+    # BEFORE mip0: the subject lives in the unit cube, the outer mips
+    # are background, and coarsening mip0 is what blurs renders.
     occs = [np.asarray(bitfield[m]) for m in range(n_cascades)]
     max_rows = 1 << max_rows_log2
     base = [res0 if m == 0 else G for m in range(n_cascades)]
-    for k in range(6):
-        res = [max(b >> k, 32) for b in base]
+    for k0, ko in sorted(
+        ((a, b) for a in range(6) for b in range(6)),
+        key=lambda p: (p[0], p[1]),
+    ):
+        res = [max(base[0] >> k0, 32)] + [
+            max(b >> ko, 32) for b in base[1:]
+        ]
         if sum(int(occ_at(occs[m], res[m]).sum())
                for m in range(n_cascades)) <= max_rows:
             break

@@ -363,13 +363,11 @@ class NerfTask:
         # so the window can be wider (fewer rounds, less host sync)
         self.baked_samples_per_window = 16
         self.baked_res0 = 256
-        # baked marching steps at the cache's cell size (1/res0 world
-        # units at mip 0): the baked field is trilinear per cell, so
-        # sub-cell steps buy no detail — only more table gathers. ~2.3×
-        # fewer samples/ray vs the training step √3/1024.
-        self.baked_dt_scale = max(1.0, (1.0 / self.baked_res0)
-                                  / MIN_CONE_STEPSIZE)
         self._baked_cache = None  # (key, BakedCache)
+        # slab-sweep renderer (nerf/slab.py) state
+        self._slab_cache = None  # (key, DenseVolumes)
+        self.slab_res0 = 256
+        self.slab_bake_view_dependent = False
         # render-space controls (reference render_aabb crop box
         # testbed.h:708, near distance, DoF aperture/focus
         # init_rays_with_payload_kernel_nerf testbed_nerf.cu:1414-1528)
@@ -440,8 +438,10 @@ class NerfTask:
         )
         self._jit_march_window = jax.jit(
             self._march_window, static_argnames=("window", "dt_scale"))
-        self._jit_render_round_baked = jax.jit(self._render_round_baked)
-        self._jit_render_round_baked2 = jax.jit(self._render_round_baked2)
+        self._jit_render_round_baked = jax.jit(
+            self._render_round_baked, static_argnames=("dt_scale",))
+        self._jit_render_round_baked2 = jax.jit(
+            self._render_round_baked2, static_argnames=("dt_scale",))
         self._bake_eval = None  # model may have changed; rebuild lazily
         self._jit_eval_composite = jax.jit(
             self._eval_and_composite, static_argnames=("compact", "fast")
@@ -1162,6 +1162,65 @@ class NerfTask:
         self._baked_cache = (key, cache)
         return cache
 
+    def _get_slab(self, origin=None):
+        """Per-step dense-volume bake cache for the slab-sweep renderer
+        (nerf/slab.py). Diffuse by default so orbit/video renders reuse
+        one bake; set slab_bake_view_dependent for per-frame bakes."""
+        from . import slab as _slab
+
+        if not self.slab_bake_view_dependent:
+            origin = None
+        key = (self.training_step, self.slab_res0,
+               None if origin is None else
+               tuple(np.round(np.asarray(origin, np.float64), 4).tolist()))
+        c = self._slab_cache
+        if c is not None and c[0] == key:
+            return c[1]
+        params = self.opt.inference_params(self.state.opt_state,
+                                           self.state.params)
+        if getattr(self, "_voxel_eval", None) is None:
+            self._voxel_eval = _slab.make_voxel_eval(
+                self.model, self.rgb_activation, self.density_activation)
+        dvols = _slab.bake_dense(
+            self.model, params, np.asarray(self.state.grid.bitfield),
+            self.max_cascade + 1, self.aabb_min, self.aabb_max,
+            self.rgb_activation, self.density_activation,
+            origin=origin, res0=self.slab_res0,
+            bricks=self._get_bricks(params), eval_fn=self._voxel_eval)
+        self._slab_cache = (key, dvols)
+        return dvols
+
+    def _render_slab(self, width, height, xform, focal_length,
+                     principal_point, background):
+        """Frame render through the slab-sweep pipeline (nerf/slab.py):
+        dense bake + gather-free MXU slab compositing. The fast-preview
+        counterpart of the exact per-sample march."""
+        from . import slab as _slab
+
+        eye = xform[:, 3]
+        dvols = self._get_slab(origin=eye)
+        n = width * height
+        n_pad = max(1024, 1 << int(math.ceil(math.log2(n))))
+        ys, xs = np.meshgrid(np.arange(height), np.arange(width),
+                             indexing="ij")
+        uv = np.stack([(xs.reshape(-1) + 0.5) / width,
+                       (ys.reshape(-1) + 0.5) / height],
+                      -1).astype(np.float32)
+        uv = np.pad(uv, ((0, n_pad - n), (0, 0)), constant_values=0.5)
+        _, d, _, _ = self._jit_prep_rays(
+            jnp.asarray(uv), jnp.asarray([width, height], jnp.float32),
+            jnp.asarray(focal_length, jnp.float32),
+            jnp.asarray(principal_point, jnp.float32),
+            jnp.asarray(xform))
+        B0 = 512 if max(width, height) <= 640 else 1024
+        out = _slab.render_frame(dvols, eye, np.asarray(d),
+                                 background=np.asarray(background,
+                                                       np.float32),
+                                 B0=B0, Bo=B0 // 2)
+        out = np.asarray(out)[:n]
+        img = np.concatenate([out[:, :4]], -1).reshape(height, width, 4)
+        return img
+
     def _march_window(self, grid_bits, o, d, t, alive, tmax, window=None,
                       dt_scale=1.0):
         """March one K-sample window for the alive rays (dead rays are
@@ -1256,7 +1315,7 @@ class NerfTask:
             cost, eps_t)
 
     def _render_round_baked(self, cache, grid_bits, o, d, t, T, rgb, depth,
-                            alive, tmax, cost, eps_t):
+                            alive, tmax, cost, eps_t, dt_scale=1.0):
         """One baked render round: march + table lookup + composite in a
         SINGLE dispatch (no sample-count readback, no compaction — the
         baked eval is ~2 gathers/sample, cheaper than the bookkeeping
@@ -1267,7 +1326,7 @@ class NerfTask:
         ts, dts, valid, t_exit, n_valid = self._march_window(
             grid_bits, o, d, t, alive, tmax,
             window=self.baked_samples_per_window,
-            dt_scale=self.baked_dt_scale)
+            dt_scale=dt_scale)
         R, K = ts.shape
         pos = o[:, None, :] + ts[..., None] * d[:, None, :]
         out = baked_query(cache, pos.reshape(-1, 3)).reshape(R, K, 4)
@@ -1276,17 +1335,17 @@ class NerfTask:
             cost, eps_t, activated=True)
 
     def _render_round_baked2(self, cache, grid_bits, o, d, t, T, rgb, depth,
-                             alive, tmax, cost, eps_t):
+                             alive, tmax, cost, eps_t, dt_scale=1.0):
         """Two baked rounds in one dispatch: with the eval this cheap,
         the per-dispatch host sync (~tens of ms through the tunneled
         device) outweighs the wasted second round for rays that die in
         the first — halving dispatches wins."""
         args = (t, T, rgb, depth, alive, tmax, cost, eps_t)
         t, T, rgb, depth, alive, cost = self._render_round_baked(
-            cache, grid_bits, o, d, *args)
+            cache, grid_bits, o, d, *args, dt_scale=dt_scale)
         return self._render_round_baked(
             cache, grid_bits, o, d, t, T, rgb, depth, alive, tmax, cost,
-            eps_t)
+            eps_t, dt_scale=dt_scale)
 
     def _composite_window(self, out, ts, dts, valid, t, t_exit, T, rgb, depth,
                           alive, tmax, cost=None, eps_t=EPS_T,
@@ -1339,6 +1398,16 @@ class NerfTask:
             aabb_max = jnp.asarray(np.minimum(self.render_aabb_max, self.aabb_max))
             tmin, tmax = _aabb_entry(o, d, aabb_min, aabb_max)
             tmin = jnp.maximum(tmin, self.render_near_distance)
+
+        if baked_cache is not None:
+            # march at the cache's ACTUAL finest cell size (the bake
+            # may have degraded resolution under its row cap) — the
+            # field is trilinear per cell, sub-cell steps buy nothing
+            baked_dt = max(
+                1.0, (1.0 / float(np.asarray(baked_cache.res)[0]))
+                / MIN_CONE_STEPSIZE)
+        else:
+            baked_dt = 1.0
 
         rgb_out = np.zeros((R, 3), np.float32)
         T_out = np.ones((R,), np.float32)
@@ -1402,7 +1471,8 @@ class NerfTask:
                  ) = self._jit_render_round_baked2(
                     baked_cache, grid_bits, o_c, d_c, t_c, T_c, rgb_c,
                     depth_c, alive_c, tmax_c, cost_c,
-                    jnp.float32(self.min_transmittance))
+                    jnp.float32(self.min_transmittance),
+                    dt_scale=baked_dt)
                 continue
             # Two dispatches per round: march, then network+composite
             # with a capacity sized from the MEASURED sample count (a
@@ -1491,6 +1561,10 @@ class NerfTask:
         grid_bits = self.state.grid.skipmip
         bricks = self._get_bricks(params)
         baked_cache = None
+        if render_quality == "slab":
+            return self._render_slab(
+                width, height, np.asarray(camera_matrix, np.float32),
+                focal_length, principal_point, background)
         if render_quality == "baked":
             baked_cache = self._get_baked(
                 origin=np.asarray(camera_matrix, np.float32)[:, 3])

@@ -86,6 +86,21 @@ def run(arm):
         p = eval_psnr(task)
         print(f"{arm} step={task.training_step} t={elapsed:.1f}s "
               f"psnr={p:.2f}", flush=True)
+    # keep a converged snapshot around for render benchmarks
+    from instant_ngp_tpu import snapshot as snapshot_io
+    from instant_ngp_tpu.testbed import jax_to_np_tree
+
+    cfg = load_network_config("base.json", mode="nerf")
+    cfg.setdefault("encoding", {})["interpolation"] = "Simplex"
+    snapshot_io.save_snapshot(
+        f"/tmp/fox_conv_{arm}.ingp",
+        cfg,
+        jax_to_np_tree(task.state.params), "nerf",
+        training_step=task.training_step,
+        density_grid=np.asarray(task.state.grid.density),
+        nerf_extra={"aabb_scale": ds.aabb_scale,
+                    "rgb": {"rays_per_batch": task.n_rays_per_batch},
+                    "dataset": snapshot_io.dataset_to_json(ds)})
 
 
 if __name__ == "__main__":
