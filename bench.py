@@ -163,6 +163,39 @@ def bench_fox():
             1920 * 1080 / (time.time() - t0) / 1e6, 4)
     except Exception as e:  # noqa: BLE001
         extras["render_mrays_per_s"]["baked_error"] = str(e)[:120]
+    try:
+        # slab-sweep render throughput (nerf/slab.py): dense diffuse
+        # bake once, then steady-state frames; plus image agreement
+        # with the exact renderer at 256²
+        v = int(views[0])
+        t0 = time.time()
+        task._get_slab()
+        extras["render_mrays_per_s"]["slab_bake_s"] = round(
+            time.time() - t0, 2)
+        extras["render_mrays_per_s"]["slab"] = rays_per_s("slab")
+        kw = dict(focal_length=(ds.focal_lengths[v, 0],
+                                ds.focal_lengths[v, 1]),
+                  principal_point=tuple(ds.principal_points[v]),
+                  background=(0, 0, 0, 0), render_quality="slab")
+        task.render(1920, 1080, ds.xforms_start[v], **kw)  # compile
+        t0 = time.time()
+        task.render(1920, 1080, ds.xforms_start[v], **kw)
+        extras["render_mrays_per_s"]["slab_1080p"] = round(
+            1920 * 1080 / (time.time() - t0) / 1e6, 4)
+        fl = (ds.focal_lengths[v, 0] * 256 / w,
+              ds.focal_lengths[v, 1] * 256 / h)
+        kw2 = dict(focal_length=fl,
+                   principal_point=tuple(ds.principal_points[v]),
+                   background=(0, 0, 0, 0))
+        img_s = np.asarray(task.render(256, 256, ds.xforms_start[v],
+                                       render_quality="slab", **kw2))
+        img_e = np.asarray(task.render(256, 256, ds.xforms_start[v], **kw2))
+        mse = float(np.mean((np.clip(img_e[..., :3], 0, 1)
+                             - np.clip(img_s[..., :3], 0, 1)) ** 2))
+        extras["render_mrays_per_s"]["slab_vs_exact_psnr"] = round(
+            -10 * np.log10(max(mse, 1e-10)), 2)
+    except Exception as e:  # noqa: BLE001
+        extras["render_mrays_per_s"]["slab_error"] = str(e)[:120]
     if seconds_to_target is not None:
         return {
             "metric": "fox_nerf_seconds_to_30db_psnr",

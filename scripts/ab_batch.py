@@ -104,4 +104,19 @@ def run(arm):
 
 
 if __name__ == "__main__":
-    run(sys.argv[1] if len(sys.argv) > 1 else "s17")
+    try:
+        run(sys.argv[1] if len(sys.argv) > 1 else "s17")
+    except Exception as e:  # noqa: BLE001
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        # same TPU-worker-crash re-exec retry as bench.py main
+        tries = int(os.environ.get("AB_RETRIED", "0"))
+        if "UNAVAILABLE" in str(e) and tries < 6:
+            wait = min(60 * (tries + 1), 300)
+            print(f"# TPU worker crash — retry {tries + 1}/6 after {wait}s",
+                  file=sys.stderr, flush=True)
+            time.sleep(wait)
+            os.environ["AB_RETRIED"] = str(tries + 1)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        raise

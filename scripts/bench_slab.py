@@ -1,0 +1,102 @@
+"""Slab-sweep renderer benchmark on fox (TPU).
+
+Loads a trained snapshot (first existing of /tmp/fox_conv_s18.ingp,
+/tmp/fox_conv_s17.ingp, /tmp/fox_bakebench.ingp), then measures:
+dense-bake time, warm 1080p frame time / Mrays/s (diffuse bake reused
+across frames, fresh camera each frame to defeat trivial caching of
+the warp inputs), 256^2 agreement vs the exact renderer, and saves
+comparison PNGs to /tmp. Prints one JSON line.
+"""
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+try:
+    import _jaxcache  # noqa: F401
+except Exception:
+    pass
+
+import numpy as np
+
+SNAPS = ["/tmp/fox_conv_s18.ingp", "/tmp/fox_conv_s17.ingp",
+         "/tmp/fox_bakebench.ingp"]
+
+
+def main():
+    import jax
+
+    from instant_ngp_tpu.io.image import save_image
+    from instant_ngp_tpu.testbed import Testbed
+
+    snap = next(s for s in SNAPS if Path(s).exists())
+    tb = Testbed("nerf")
+    tb.load_training_data("/root/reference/data/nerf/fox")
+    tb.load_snapshot(snap)
+    task = tb.task
+    ds = task.dataset
+    out = {"snap": snap, "step": task.training_step}
+
+    v = 0
+    xform = np.asarray(ds.xforms_start[v], np.float32)
+    w, h = ds.resolution
+    fl = (ds.focal_lengths[v, 0] * 1920 / w, ds.focal_lengths[v, 1] * 1080 / h)
+    kw = dict(focal_length=fl, principal_point=tuple(ds.principal_points[v]),
+              background=(0, 0, 0, 0), render_quality="slab")
+
+    t0 = time.time()
+    dvols = task._get_slab()
+    out["bake_s"] = round(time.time() - t0, 2)
+    out["res"] = dvols.res
+    occ = [float((np.asarray(vv[..., 3], np.float32) > 0).mean())
+           for vv in dvols.volumes]
+    out["occ_frac"] = [round(o, 4) for o in occ]
+
+    img = task.render(1920, 1080, xform, **kw)  # warm/compile
+    t0 = time.time()
+    n_frames = 5
+    for i in range(n_frames):
+        # nudge the camera so per-frame host planning isn't amortized
+        x2 = xform.copy()
+        x2[:, 3] += 0.003 * (i + 1)
+        img = task.render(1920, 1080, x2, **kw)
+    dt = (time.time() - t0) / n_frames
+    out["render_1080p_s"] = round(dt, 3)
+    out["mrays_1080p"] = round(1920 * 1080 / dt / 1e6, 2)
+
+    fl2 = (ds.focal_lengths[v, 0] * 256 / w, ds.focal_lengths[v, 1] * 256 / h)
+    kw2 = dict(focal_length=fl2,
+               principal_point=tuple(ds.principal_points[v]),
+               background=(0, 0, 0, 0))
+    t0 = time.time()
+    img_s = np.asarray(task.render(256, 256, xform, render_quality="slab",
+                                   **kw2))
+    out["render_256_s"] = round(time.time() - t0, 3)
+    img_e = np.asarray(task.render(256, 256, xform, **kw2))
+
+    def agree(a, b):
+        mse = float(np.mean((np.clip(a[..., :3], 0, 1)
+                             - np.clip(b[..., :3], 0, 1)) ** 2))
+        return round(-10 * np.log10(max(mse, 1e-10)), 2)
+
+    out["slab_vs_exact_psnr_diffuse"] = agree(img_e, img_s)
+    # view-dependent bake: colors evaluated toward this camera — the
+    # apples-to-apples agreement number
+    task.slab_bake_view_dependent = True
+    t0 = time.time()
+    img_v = np.asarray(task.render(256, 256, xform, render_quality="slab",
+                                   **kw2))
+    out["bake_vd_s"] = round(time.time() - t0, 2)
+    task.slab_bake_view_dependent = False
+    out["slab_vs_exact_psnr_vd"] = agree(img_e, img_v)
+    save_image("/tmp/slab_vd_256.png", np.clip(img_v, 0, 1))
+    save_image("/tmp/slab_256.png", np.clip(img_s, 0, 1))
+    save_image("/tmp/exact_256.png", np.clip(img_e, 0, 1))
+    save_image("/tmp/slab_1080.png", np.clip(np.asarray(img), 0, 1))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
