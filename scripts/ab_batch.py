@@ -112,7 +112,7 @@ if __name__ == "__main__":
         traceback.print_exc(file=sys.stderr)
         # same TPU-worker-crash re-exec retry as bench.py main
         tries = int(os.environ.get("AB_RETRIED", "0"))
-        if "UNAVAILABLE" in str(e) and tries < 6:
+        if ("UNAVAILABLE" in str(e) or "remote_compile" in str(e)) and tries < 6:
             wait = min(60 * (tries + 1), 300)
             print(f"# TPU worker crash — retry {tries + 1}/6 after {wait}s",
                   file=sys.stderr, flush=True)
