@@ -25,6 +25,10 @@ SNAPS = ["/tmp/fox_conv_s18.ingp", "/tmp/fox_conv_s17.ingp",
          "/tmp/fox_bakebench.ingp"]
 
 
+def log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     import jax
 
@@ -32,6 +36,7 @@ def main():
     from instant_ngp_tpu.testbed import Testbed
 
     snap = next(s for s in SNAPS if Path(s).exists())
+    log(f"loading {snap}")
     tb = Testbed("nerf")
     tb.load_training_data("/root/reference/data/nerf/fox")
     tb.load_snapshot(snap)
@@ -46,15 +51,19 @@ def main():
     kw = dict(focal_length=fl, principal_point=tuple(ds.principal_points[v]),
               background=(0, 0, 0, 0), render_quality="slab")
 
+    log("baking dense volumes...")
     t0 = time.time()
     dvols = task._get_slab()
     out["bake_s"] = round(time.time() - t0, 2)
+    log(f"bake done in {out['bake_s']}s")
     out["res"] = dvols.res
     occ = [float((np.asarray(vv[..., 3], np.float32) > 0).mean())
            for vv in dvols.volumes]
     out["occ_frac"] = [round(o, 4) for o in occ]
 
+    log("compiling 1080p slab frame...")
     img = task.render(1920, 1080, xform, **kw)  # warm/compile
+    log("1080p compiled; timing 5 frames")
     t0 = time.time()
     n_frames = 5
     for i in range(n_frames):
@@ -70,11 +79,13 @@ def main():
     kw2 = dict(focal_length=fl2,
                principal_point=tuple(ds.principal_points[v]),
                background=(0, 0, 0, 0))
+    log("256^2 slab + exact agreement renders...")
     t0 = time.time()
     img_s = np.asarray(task.render(256, 256, xform, render_quality="slab",
                                    **kw2))
     out["render_256_s"] = round(time.time() - t0, 3)
     img_e = np.asarray(task.render(256, 256, xform, **kw2))
+    log("exact render done; view-dependent bake...")
 
     def agree(a, b):
         mse = float(np.mean((np.clip(a[..., :3], 0, 1)
@@ -99,4 +110,18 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        # same TPU-worker-crash re-exec retry as bench.py main
+        tries = int(os.environ.get("SLAB_RETRIED", "0"))
+        if "UNAVAILABLE" in str(e) and tries < 6:
+            wait = min(60 * (tries + 1), 300)
+            log(f"TPU unavailable — retry {tries + 1}/6 after {wait}s")
+            time.sleep(wait)
+            os.environ["SLAB_RETRIED"] = str(tries + 1)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        raise
