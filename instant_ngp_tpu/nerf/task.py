@@ -1526,6 +1526,91 @@ class NerfTask:
                 )
         return rgb, 1.0 - T, depth
 
+    def render_slice(
+        self,
+        width: int,
+        height: int,
+        camera_matrix: np.ndarray,
+        focal_length: Optional[tuple[float, float]] = None,
+        principal_point: tuple[float, float] = (0.5, 0.5),
+        fov: float = 50.0,
+        plane_dist: float = 1.5,
+        background: tuple = (0.0, 0.0, 0.0, 0.0),
+    ) -> np.ndarray:
+        """ERenderMode::Slice — evaluate the full model on the plane of
+        constant view-space depth `plane_dist` (the reference's
+        m_slice_plane_z + m_scale) and shade rgba = [rgb·a, a] with
+        a = 1 − exp(−σ·0.01): testbed_nerf.cu:1911-1914 (plane setup),
+        :1485-1494 (ray parked at t = plane depth, z-depth units),
+        :2070-2096 (full-model eval + compute_nerf_rgba, dt = 0.01)."""
+        from ..common import LensMode
+        from ..render.camera import uv_to_ray_cam
+
+        if focal_length is None:
+            fl = 0.5 * height / math.tan(0.5 * math.radians(fov))
+            focal_length = (fl, fl)
+        xform = np.asarray(camera_matrix, np.float32)
+        params = self.opt.inference_params(self.state.opt_state,
+                                           self.state.params)
+        bricks = self._get_bricks(params)
+
+        if getattr(self, "_slice_eval_fn", None) is None:
+            model = self.model
+            rgb_act, dens_act = self.rgb_activation, self.density_activation
+
+            @jax.jit
+            def _eval(params, bricks, pos_w, dirs):
+                out = model(params, pos_w, warp_direction(dirs),
+                            bricks=bricks)
+                rgb = network_to_rgb(out[:, :3].astype(jnp.float32),
+                                     rgb_act)
+                sigma = network_to_density(out[:, 3].astype(jnp.float32),
+                                           dens_act)
+                a = jnp.clip(1.0 - jnp.exp(-sigma * 0.01), 0.0, 1.0)
+                return jnp.concatenate([rgb * a[:, None], a[:, None]], -1)
+
+            self._slice_eval_fn = _eval
+
+        ys, xs = np.meshgrid(np.arange(height), np.arange(width),
+                             indexing="ij")
+        uv_np = np.stack([(xs.reshape(-1) + 0.5) / width,
+                          (ys.reshape(-1) + 0.5) / height], -1)
+        n = uv_np.shape[0]
+        chunk = 1 << 16
+        n_pad = (n + chunk - 1) // chunk * chunk
+        uv_np = np.pad(uv_np.astype(np.float32), ((0, n_pad - n), (0, 0)))
+        aabb_min = jnp.asarray(self.aabb_min, jnp.float32)
+        aabb_max = jnp.asarray(self.aabb_max, jnp.float32)
+        R = jnp.asarray(xform[:, :3])
+        eye = jnp.asarray(xform[:, 3])
+        fl_d = jnp.asarray([focal_length], jnp.float32)
+        pp_d = jnp.asarray([principal_point], jnp.float32)
+        outs = []
+        for i in range(0, n_pad, chunk):
+            uv_c = jnp.asarray(uv_np[i : i + chunk])
+            # camera-space dir with unit z-depth — the reference's
+            # unnormalized ray.d, so eye + dir·plane_dist is the plane
+            # of constant view-space depth
+            dir_cam, off_cam = uv_to_ray_cam(
+                uv_c, (width, height),
+                jnp.broadcast_to(fl_d, (uv_c.shape[0], 2)),
+                jnp.broadcast_to(pp_d, (uv_c.shape[0], 2)),
+                lens_mode=LensMode(self.dataset.lens_mode),
+                lens_params=jnp.asarray(self.dataset.lens_params))
+            d_w = dir_cam @ R.T
+            o_w = eye + off_cam @ R.T
+            world = o_w + d_w * plane_dist
+            pos_w = (world - aabb_min) / (aabb_max - aabb_min)
+            dirs = d_w / jnp.maximum(
+                jnp.linalg.norm(d_w, axis=-1, keepdims=True), 1e-9)
+            outs.append(self._slice_eval_fn(params, bricks, pos_w, dirs))
+        rgba = np.asarray(jnp.concatenate(outs))[:n]
+        bg = np.asarray(background, np.float32)
+        rgb = rgba[:, :3] + (1.0 - rgba[:, 3:4]) * bg[:3] * bg[3]
+        alpha = rgba[:, 3] + (1.0 - rgba[:, 3]) * bg[3]
+        return np.concatenate([rgb, alpha[:, None]], -1).reshape(
+            height, width, 4).astype(np.float32)
+
     def render(
         self,
         width: int,
@@ -1561,6 +1646,10 @@ class NerfTask:
         grid_bits = self.state.grid.skipmip
         bricks = self._get_bricks(params)
         baked_cache = None
+        if render_mode != "shade" and render_quality in ("slab", "baked"):
+            # the bake caches only carry [rgb, sigma] — G-buffer render
+            # modes need the exact per-sample path
+            render_quality = "exact"
         if render_quality == "slab":
             return self._render_slab(
                 width, height, np.asarray(camera_matrix, np.float32),

@@ -20,6 +20,7 @@ import numpy as np
 from .common import (
     NERF_CASCADES,
     ColorSpace,
+    RenderMode,
     TestbedMode,
     TonemapCurve,
     linear_to_srgb,
@@ -257,8 +258,12 @@ class Testbed:
         self.render_with_lens_distortion = True
         # "exact" | "fast" (fast = stochastic-corner hashed gathers;
         # measured NOT worth it — see encode_infer docstring — kept
-        # for experimentation only)
+        # for experimentation only) | "baked" | "slab"
         self.render_quality = "exact"
+        # reference m_render_mode / m_slice_plane_z (python_api.cu
+        # ERenderMode binding, :630)
+        self.render_mode = RenderMode.SHADE
+        self.slice_plane_z = 0.0
         self.root_dir = str(Path(__file__).resolve().parents[1])
         self._nerf_pending: dict = {}
         self.nerf = _NerfView(self)
@@ -388,6 +393,13 @@ class Testbed:
     # ------------------------------------------------------------------
     # rendering (headless render_to_cpu analog, python_api.cu:100-170)
     # ------------------------------------------------------------------
+    def _task_render_mode(self) -> str:
+        """Map the pyngp ERenderMode enum to the task's render_mode
+        string (common.h:68-80 → nerf/task.py render modes)."""
+        mode = self.render_mode
+        name = mode.value if isinstance(mode, RenderMode) else str(mode)
+        return name.replace("_", "")
+
     def render(
         self,
         width: int,
@@ -461,6 +473,20 @@ class Testbed:
                      / ds.resolution[self.fov_axis])
                 kw["focal_length"] = tuple(ds.focal_lengths[i] * s)
                 kw["principal_point"] = tuple(ds.principal_points[i])
+            if self._task_render_mode() == "slice":
+                # 2D slice render path (testbed_nerf.cu:2038-2096):
+                # model eval on the plane at slice_plane_z + scale
+                frame = self.task.render_slice(
+                    width, height, cam, fov=fov or self.fov,
+                    plane_dist=self.slice_plane_z + self.scale,
+                    background=tuple(self.background_color), **kw)
+                from .common import NerfActivation
+
+                produced_linear = (self.task.rgb_activation
+                                   == NerfActivation.EXPONENTIAL)
+                frame = to_space(np.asarray(frame), produced_linear)
+                self.render_ms.update((time.perf_counter() - t0) * 1000.0)
+                return frame
             frame = self.task.render(
                 width,
                 height,
@@ -469,6 +495,7 @@ class Testbed:
                 spp=spp,
                 background=tuple(self.background_color),
                 render_quality=self.render_quality,
+                render_mode=self._task_render_mode(),
                 **kw,
             )
             # LDR scenes train/render in sRGB space, HDR in linear

@@ -27,28 +27,100 @@ import numpy as np
 _PAGE = """<!DOCTYPE html>
 <html><head><title>instant-ngp-tpu viewer</title><style>
  body { margin:0; background:#111; color:#ccc; font-family:monospace; }
- #hud { position:fixed; top:8px; left:8px; background:#000a; padding:6px 10px; }
+ #hud { position:fixed; top:8px; left:8px; background:#000c; padding:8px 12px;
+        border:1px solid #333; border-radius:4px; min-width:240px; }
+ #hud label { display:block; margin-top:4px; font-size:12px; }
+ #hud select, #hud input[type=range] { width:130px; }
+ #hud button { margin-top:6px; margin-right:4px; font-family:monospace; }
+ canvas { background:#0008; display:block; margin-top:4px; }
  img { display:block; width:100vw; height:100vh; object-fit:contain;
        image-rendering:auto; cursor:grab; }
+ .row { display:flex; justify-content:space-between; align-items:center; }
 </style></head><body>
-<div id="hud">instant-ngp-tpu — drag to orbit, wheel to zoom<br>
-<span id="stats"></span></div>
+<div id="hud">
+ <b>instant-ngp-tpu</b> — drag orbits, wheel zooms<br>
+ <span id="stats"></span>
+ <canvas id="lossplot" width="224" height="48"></canvas>
+ <div class="row"><label>train <input type="checkbox" id="train"></label>
+   <span id="steprate"></span></div>
+ <label class="row">mode <select id="mode">
+  <option>shade</option><option>depth</option><option>normals</option>
+  <option>positions</option><option>ao</option><option>cost</option>
+  <option>encoding_vis</option><option>distortion</option><option>slice</option>
+ </select></label>
+ <label class="row">quality <select id="quality">
+  <option>exact</option><option>fast</option><option>baked</option>
+  <option>slab</option>
+ </select></label>
+ <label class="row">exposure <input type="range" id="exposure" min="-4"
+   max="4" step="0.1" value="0"></label>
+ <label class="row">fov <input type="range" id="fov" min="20" max="120"
+   step="1" value="50"></label>
+ <label class="row">res <select id="res">
+  <option>192</option><option selected>384</option><option>768</option>
+ </select></label>
+ <button id="snap">save snapshot</button>
+ <button id="shot">screenshot</button>
+ <span id="msg"></span>
+</div>
 <img id="view" draggable="false">
 <script>
 let theta = 0.0, phi = 0.3, radius = 2.0, busy = false, dirty = true;
-const img = document.getElementById('view');
-const stats = document.getElementById('stats');
-let res = 384;
+const $ = id => document.getElementById(id);
+const img = $('view');
+let losses = [];
+async function setOpt(k, v) {
+  dirty = true;
+  await fetch(`/api/set?${k}=${encodeURIComponent(v)}`);
+}
+$('train').addEventListener('change', e => setOpt('train', e.target.checked ? 1 : 0));
+$('mode').addEventListener('change', e => setOpt('render_mode', e.target.value));
+$('quality').addEventListener('change', e => setOpt('render_quality', e.target.value));
+$('exposure').addEventListener('input', e => setOpt('exposure', e.target.value));
+$('fov').addEventListener('input', e => setOpt('fov', e.target.value));
+$('snap').addEventListener('click', async () => {
+  const r = await fetch('/api/save_snapshot');
+  $('msg').textContent = (await r.json()).path || 'saved';
+});
+$('shot').addEventListener('click', () => {
+  window.open(`/screenshot?theta=${theta}&phi=${phi}&r=${radius}&w=1280&h=720`);
+});
+function drawLosses() {
+  const c = $('lossplot').getContext('2d');
+  c.clearRect(0, 0, 224, 48);
+  if (losses.length < 2) return;
+  const mx = Math.max(...losses), mn = Math.min(...losses);
+  c.strokeStyle = '#6cf'; c.beginPath();
+  losses.forEach((v, i) => {
+    const x = i / (losses.length - 1) * 224;
+    const y = 46 - 44 * (mx > mn ? (v - mn) / (mx - mn) : 0.5);
+    i ? c.lineTo(x, y) : c.moveTo(x, y);
+  });
+  c.stroke();
+}
+async function pollState() {
+  try {
+    const s = await (await fetch('/api/state')).json();
+    $('stats').textContent =
+      `step=${s.step} loss=${s.loss?.toExponential?.(3) ?? s.loss}`;
+    $('steprate').textContent = s.train_ms ? `${s.train_ms.toFixed(0)} ms/step` : '';
+    if (document.activeElement !== $('train')) $('train').checked = !!s.shall_train;
+    losses = s.loss_graph || losses;
+    drawLosses();
+  } catch (e) {}
+  setTimeout(pollState, 1000);
+}
 async function refresh() {
   if (busy || !dirty) { setTimeout(refresh, 30); return; }
   busy = true; dirty = false;
+  const res = +$('res').value;
   const t0 = performance.now();
-  const r = await fetch(`/render?theta=${theta}&phi=${phi}&r=${radius}&w=${res}&h=${res}`);
-  const blob = await r.blob();
-  img.src = URL.createObjectURL(blob);
-  const dt = performance.now() - t0;
-  const info = JSON.parse(r.headers.get('X-Info') || '{}');
-  stats.textContent = `${dt.toFixed(0)} ms/frame  step=${info.step ?? '-'} loss=${info.loss ?? '-'}`;
+  try {
+    const r = await fetch(`/render?theta=${theta}&phi=${phi}&r=${radius}&w=${res}&h=${res}`);
+    const blob = await r.blob();
+    img.src = URL.createObjectURL(blob);
+    $('msg').textContent = `${(performance.now() - t0).toFixed(0)} ms/frame`;
+  } catch (e) {}
   busy = false;
   setTimeout(refresh, 10);
 }
@@ -66,6 +138,7 @@ window.addEventListener('wheel', e => {
   dirty = true;
 });
 setInterval(() => { dirty = true; }, 2000);  // pick up training progress
+pollState();
 refresh();
 </script></body></html>"""
 
@@ -113,7 +186,66 @@ class ViewerServer:
                 self.testbed.frame()
             time.sleep(0.001)
 
-    def render_jpeg(self, theta, phi, radius, w, h) -> bytes:
+    # ------------------------------------------------------------------
+    # control API (the headless analog of the reference's ImGui panel:
+    # train toggle, render mode/quality, exposure, snapshot save —
+    # testbed.cu:774-2108)
+    # ------------------------------------------------------------------
+    def state_json(self) -> dict:
+        tb = self.testbed
+        mode = getattr(tb, "render_mode", None)
+        graph = list(tb.loss_graph[-128:]) if tb.loss_graph else []
+        return {
+            "step": (tb.task.training_step if tb.task is not None
+                     else tb.training_step),
+            "loss": float(tb.loss or 0.0),
+            "shall_train": bool(tb.shall_train),
+            "train_ms": float(tb.training_ms.val()),
+            "render_ms": float(tb.render_ms.val()),
+            "render_mode": getattr(mode, "value", str(mode)),
+            "render_quality": tb.render_quality,
+            "exposure": float(tb.exposure),
+            "fov": float(tb.fov),
+            "loss_graph": [round(float(v), 6) for v in graph],
+        }
+
+    def apply_settings(self, q: dict) -> dict:
+        """Apply ?key=value settings under the render lock."""
+        from .common import RenderMode
+
+        tb = self.testbed
+        applied = {}
+        with self._lock:
+            if "train" in q:
+                tb.shall_train = q["train"][0] in ("1", "true", "on")
+                applied["train"] = tb.shall_train
+            if "render_mode" in q:
+                tb.render_mode = RenderMode(q["render_mode"][0])
+                applied["render_mode"] = tb.render_mode.value
+            if "render_quality" in q:
+                v = q["render_quality"][0]
+                if v not in ("exact", "fast", "baked", "slab"):
+                    raise ValueError(f"unknown render_quality {v!r}")
+                tb.render_quality = v
+                applied["render_quality"] = v
+            if "exposure" in q:
+                tb.exposure = float(q["exposure"][0])
+                applied["exposure"] = tb.exposure
+            if "fov" in q:
+                tb.fov = float(q["fov"][0])
+                applied["fov"] = tb.fov
+            if "slice_plane_z" in q:
+                tb.slice_plane_z = float(q["slice_plane_z"][0])
+                applied["slice_plane_z"] = tb.slice_plane_z
+        return applied
+
+    def save_snapshot(self) -> str:
+        path = f"viewer_step{self.testbed.training_step}.ingp"
+        with self._lock:
+            self.testbed.save_snapshot(path, include_optimizer_state=True)
+        return path
+
+    def render_image(self, theta, phi, radius, w, h, fmt="JPEG") -> bytes:
         from PIL import Image
 
         cam = orbit_matrix(theta, phi, radius)
@@ -134,10 +266,16 @@ class ViewerServer:
             frame = self.testbed.render(w, h, camera_matrix=cam)
         rgb = np.clip(np.asarray(frame)[..., :3], 0, 1)
         buf = io.BytesIO()
-        Image.fromarray((rgb * 255).astype(np.uint8)).save(
-            buf, "JPEG", quality=90
-        )
+        im = Image.fromarray((rgb * 255).astype(np.uint8))
+        if fmt == "JPEG":
+            im.save(buf, "JPEG", quality=90)
+        else:
+            im.save(buf, fmt)
         return buf.getvalue()
+
+    # kept for API compatibility with earlier versions/tests
+    def render_jpeg(self, theta, phi, radius, w, h) -> bytes:
+        return self.render_image(theta, phi, radius, w, h, "JPEG")
 
     def serve_forever(self):
         viewer = self
@@ -156,26 +294,49 @@ class ViewerServer:
                     self.end_headers()
                     self.wfile.write(body)
                     return
-                if u.path == "/render":
+                if u.path in ("/render", "/screenshot"):
                     q = parse_qs(u.query)
                     get = lambda k, d: float(q.get(k, [d])[0])
-                    body = viewer.render_jpeg(
+                    png = u.path == "/screenshot"
+                    body = viewer.render_image(
                         get("theta", 0), get("phi", 0.3), get("r", 2.0),
                         int(get("w", 384)), int(get("h", 384)),
+                        fmt="PNG" if png else "JPEG",
                     )
                     info = json.dumps({
                         "step": viewer.testbed.training_step,
                         "loss": round(float(viewer.testbed.loss or 0.0), 5),
                     })
                     self.send_response(200)
-                    self.send_header("Content-Type", "image/jpeg")
+                    self.send_header("Content-Type",
+                                     "image/png" if png else "image/jpeg")
                     self.send_header("Content-Length", str(len(body)))
                     self.send_header("X-Info", info)
                     self.end_headers()
                     self.wfile.write(body)
                     return
+                if u.path == "/api/state":
+                    self._json(viewer.state_json())
+                    return
+                if u.path == "/api/set":
+                    try:
+                        self._json(viewer.apply_settings(parse_qs(u.query)))
+                    except (ValueError, KeyError) as e:
+                        self._json({"error": str(e)}, code=400)
+                    return
+                if u.path == "/api/save_snapshot":
+                    self._json({"path": viewer.save_snapshot()})
+                    return
                 self.send_response(404)
                 self.end_headers()
+
+            def _json(self, obj, code: int = 200):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
 
         if self.train:
             threading.Thread(target=self._train_loop, daemon=True).start()

@@ -241,3 +241,17 @@ class TestRenderPath:
         frame = task.render(16, 16, cam, fov=60.0)
         assert frame.shape == (16, 16, 4)
         assert np.isfinite(frame).all()
+
+    def test_slice_render_mode(self):
+        # ERenderMode::Slice: full-model eval on the constant-depth
+        # plane (testbed_nerf.cu:1911-1914, :2038-2096)
+        task = make_task(use_error_map=False)
+        task.train(2)
+        cam = np.hstack([np.eye(3), [[0.5], [0.5], [-0.7]]]).astype(np.float32)
+        frame = task.render_slice(8, 8, cam, fov=60.0, plane_dist=1.2)
+        assert frame.shape == (8, 8, 4)
+        assert np.isfinite(frame).all()
+        assert frame[..., 3].min() >= 0.0 and frame[..., 3].max() <= 1.0
+        # the slice plane position changes what is sampled
+        other = task.render_slice(8, 8, cam, fov=60.0, plane_dist=0.6)
+        assert np.abs(other - frame).max() > 0.0

@@ -191,3 +191,32 @@ class TestSnapshotFixture:
         # flips knife-edge occupancy bits on this 4-step synthetic
         assert frame.shape == (8, 8, 4)
         assert np.isfinite(frame).all()
+
+
+class TestRenderModePlumbing:
+    def test_render_mode_reaches_task(self):
+        """Setting testbed.render_mode (pyngp ERenderMode) changes the
+        rendered frame — depth/slice/shade must all flow through."""
+        import __graft_entry__ as g
+        from instant_ngp_tpu.common import RenderMode
+        from instant_ngp_tpu.nerf.task import NerfTask
+
+        tb = Testbed()
+        tb.network_config = g._tiny_nerf_config()
+        ds = g._synthetic_dataset()
+        tb.nerf_dataset = ds
+        tb.mode = TestbedMode.NERF
+        tb.task = NerfTask(ds, tb.network_config, n_rays_per_batch=64,
+                           max_samples_per_ray=4, n_march_iters=8)
+        tb.task.train(2)
+        cam = ds.xforms_start[0]
+        frames = {}
+        for mode in (RenderMode.SHADE, RenderMode.DEPTH, RenderMode.SLICE):
+            tb.render_mode = mode
+            frames[mode] = tb.render(8, 8, camera_matrix=cam)
+            assert frames[mode].shape == (8, 8, 4)
+            assert np.isfinite(frames[mode]).all(), mode
+        assert np.abs(frames[RenderMode.DEPTH]
+                      - frames[RenderMode.SHADE]).max() > 1e-6
+        assert np.abs(frames[RenderMode.SLICE]
+                      - frames[RenderMode.SHADE]).max() > 1e-6

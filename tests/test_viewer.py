@@ -1,6 +1,8 @@
 """Web viewer: orbit math + end-to-end render over HTTP."""
+import json
 import threading
 import time
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -51,3 +53,25 @@ def test_viewer_serves_page_and_frames():
     ).read()
     assert frame[:2] == b"\xff\xd8"  # JPEG magic
     assert len(frame) > 100
+
+    # control API: state / set / screenshot (the headless GUI panel)
+    state = json.loads(urllib.request.urlopen(
+        "http://127.0.0.1:18765/api/state").read())
+    assert state["step"] == 1 and state["render_mode"] == "shade"
+    applied = json.loads(urllib.request.urlopen(
+        "http://127.0.0.1:18765/api/set?render_mode=depth&exposure=1.5"
+        "&train=0").read())
+    assert applied == {"train": False, "render_mode": "depth",
+                       "exposure": 1.5}
+    assert tb.render_mode.value == "depth" and tb.exposure == 1.5
+    assert not tb.shall_train
+    shot = urllib.request.urlopen(
+        "http://127.0.0.1:18765/screenshot?w=16&h=16").read()
+    assert shot[:8] == b"\x89PNG\r\n\x1a\n"
+    # bad values are a 400, not a server crash
+    try:
+        urllib.request.urlopen(
+            "http://127.0.0.1:18765/api/set?render_mode=bogus")
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
