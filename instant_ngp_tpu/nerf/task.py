@@ -1015,6 +1015,41 @@ class NerfTask:
             sharp_grid = sharp_grid * 0.95
         return dataclasses.replace(state, grid=grid, sharp_grid=sharp_grid)
 
+    def set_training_image(self, frame_idx: int, img: np.ndarray,
+                           depth_img: Optional[np.ndarray] = None,
+                           depth_scale: float = 1.0) -> None:
+        """Replace one training image (+ optional depth) at runtime —
+        the pyngp ``testbed.nerf.training.set_image`` surface
+        (python_api.cu:45-72 → nerf_loader set_training_image). ``img``
+        is float (H, W, 4) in the dataset's training color space (sRGB
+        for LDR scenes, linear for HDR); depth is scaled by
+        ``depth_scale`` then the scene scale, like the loader."""
+        ds = self.dataset
+        if not (0 <= int(frame_idx) < ds.n_images):
+            raise IndexError(f"invalid frame index {frame_idx}")
+        img = np.asarray(img, np.float32)
+        expect = (ds.resolution[1], ds.resolution[0], 4)
+        if img.shape != expect:
+            raise ValueError(f"image should be {expect}, got {img.shape}")
+        if ds.is_hdr:
+            stored = img.astype(np.float16)
+        else:
+            stored = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        ds.images[frame_idx] = stored
+        self.data["images"] = (
+            self.data["images"].at[int(frame_idx)].set(jnp.asarray(stored)))
+        if depth_img is not None:
+            depth = (np.asarray(depth_img, np.float32)
+                     * float(depth_scale) * float(ds.scale))
+            if ds.depths is None:
+                raise ValueError(
+                    "dataset has no depth channel; load with depth maps "
+                    "to supervise depth (nerf_loader depth_path)")
+            ds.depths[frame_idx] = depth
+            self.data["depths"] = (
+                self.data["depths"].at[int(frame_idx)].set(
+                    jnp.asarray(depth)))
+
     def train(self, n_steps: int = 1) -> float:
         loss = None
         stats = None

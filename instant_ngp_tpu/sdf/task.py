@@ -197,8 +197,49 @@ class SdfTask:
         except Exception:  # noqa: BLE001 — interpreter teardown
             pass
 
+    def override_training_data(self, points: np.ndarray,
+                               distances: np.ndarray) -> None:
+        """Replace online GT generation with a fixed (points, sdf)
+        set — pyngp ``override_sdf_training_data``
+        (python_api.cu:74-112). Points arrive in the mesh's raw world
+        frame and are mapped into the normalized unit cube exactly like
+        the mesh itself (world·scale + offset); distances scale by the
+        same factor. Training then cycles through the fixed set and the
+        producer thread is stopped (generate_sdf_data_online = false)."""
+        pts = np.asarray(points, np.float32)
+        d = np.asarray(distances, np.float32).reshape(-1)
+        if pts.ndim != 2 or pts.shape[1] != 3 or pts.shape[0] != d.shape[0]:
+            raise ValueError(
+                f"invalid points<->distances data: {pts.shape} vs {d.shape}")
+        self.stop_producer()
+        self._override = (
+            pts * self.mesh_scale + self.mesh_offset,
+            d * self.mesh_scale,
+        )
+        self._override_idx = 0
+
+    def _next_override_batch(self):
+        """Fixed-set batches: wrap around the override buffer so the
+        jitted step keeps its single compiled batch shape."""
+        pts, d = self._override
+        idx = (self._override_idx
+               + np.arange(self.batch_size)) % len(d)
+        self._override_idx = int((self._override_idx + self.batch_size)
+                                 % len(d))
+        return pts[idx], d[idx]
+
     def train(self, n_steps: int = 1) -> float:
         import queue
+
+        if getattr(self, "_override", None) is not None:
+            loss = None
+            for _ in range(n_steps):
+                pts, d = self._next_override_batch()
+                self.params, self.opt_state, loss = self._jit_step(
+                    self.params, self.opt_state,
+                    jnp.asarray(pts), jnp.asarray(d))
+                self.training_step += 1
+            return float(loss) if loss is not None else 0.0
 
         q = self._batch_producer()
         loss = None

@@ -162,6 +162,16 @@ class _NerfTrainingView:
     def n_images_for_training(self):
         return self.dataset.n_images
 
+    def set_image(self, frame_idx: int, img, depth_img=None,
+                  depth_scale: float = 1.0):
+        """pyngp testbed.nerf.training.set_image (python_api.cu:45-72,
+        :846-848): replace a training image (+ optional depth) at
+        runtime, e.g. for streaming/SLAM-style captures."""
+        t = self._task()
+        if t is None:
+            raise RuntimeError("load a NeRF scene before set_image")
+        t.set_training_image(frame_idx, img, depth_img, depth_scale)
+
 
 class _NerfView:
     """pyngp testbed.nerf.* (python_api.cu:520-620)."""
@@ -748,6 +758,15 @@ class Testbed:
             reps_x = int(np.ceil(width / rw))
             frame = np.repeat(np.repeat(frame, reps_y, 0), reps_x, 1)[:height, :width]
         return frame
+
+    def override_sdf_training_data(self, points, distances):
+        """pyngp Testbed.override_sdf_training_data (python_api.cu:
+        74-112, :551): train the SDF on a fixed external (points,
+        distances) set instead of online BVH GT generation."""
+        if self.mode != TestbedMode.SDF or self.task is None:
+            raise RuntimeError(
+                "override_sdf_training_data requires a loaded SDF scene")
+        self.task.override_training_data(points, distances)
 
     def screenshot(self, path: str, width: int = 1920, height: int = 1080, spp: int = 1):
         from .io.image import save_image
