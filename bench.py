@@ -29,6 +29,26 @@ except Exception:
     pass
 
 
+class _alarm:
+    """SIGALRM guard: converts a hang inside the block (e.g. a TPU
+    dispatch stuck on a dead tunnel) into a TimeoutError the caller's
+    try/except can record. Main-thread only — bench phases are."""
+
+    def __init__(self, seconds: int):
+        self.seconds = seconds
+
+    @staticmethod
+    def _raise(signum, frame):
+        raise TimeoutError("bench extras step timed out")
+
+    def __enter__(self):
+        signal.signal(signal.SIGALRM, self._raise)
+        signal.alarm(self.seconds)
+
+    def __exit__(self, *exc):
+        signal.alarm(0)
+
+
 def bench_fox():
     from instant_ngp_tpu.config import load_network_config
     from instant_ngp_tpu.io.nerf_loader import load_nerf
@@ -77,29 +97,33 @@ def bench_fox():
     # the grid-update programs — every shape must hit the persistent
     # compile cache before the timed run
     print("# warmup: train step (all ray buckets)...", file=sys.stderr, flush=True)
-    for bucket in (2048, 4096, 8192):
-        task._n_rays_current = bucket
-        task.train(1)
-    task.train(140)  # crosses the first CDF rebuild → use_cdf variants
-    for bucket in (2048, 4096):
-        task._n_rays_current = bucket
-        task.train(1)
-    # the corner anneal switches to exact gradients mid-run — compile
-    # those program variants now too
-    task.exact_corners_after = 0
-    for bucket in (2048, 4096, 8192):
-        task._n_rays_current = bucket
-        task.train(1)
-    task._n_rays_current = task.n_rays_per_batch
-    print("# warmup: eval render...", file=sys.stderr, flush=True)
-    t_ev = time.time()
-    _ = eval_psnr()
-    print(f"# warmup eval took {time.time()-t_ev:.1f}s (includes compiles)",
-          file=sys.stderr, flush=True)
-    t_ev = time.time()
-    _ = eval_psnr()
-    print(f"# steady-state eval: {time.time()-t_ev:.1f}s for 3 views",
-          file=sys.stderr, flush=True)
+    # alarm: a tunnel outage manifests as a HANG, not an error — raise
+    # so main()'s re-exec retry gets a shot at a recovered device
+    # (2400 s covers the worst cold-cache compile storm observed)
+    with _alarm(2400):
+        for bucket in (2048, 4096, 8192):
+            task._n_rays_current = bucket
+            task.train(1)
+        task.train(140)  # crosses the first CDF rebuild → use_cdf variants
+        for bucket in (2048, 4096):
+            task._n_rays_current = bucket
+            task.train(1)
+        # the corner anneal switches to exact gradients mid-run — compile
+        # those program variants now too
+        task.exact_corners_after = 0
+        for bucket in (2048, 4096, 8192):
+            task._n_rays_current = bucket
+            task.train(1)
+        task._n_rays_current = task.n_rays_per_batch
+        print("# warmup: eval render...", file=sys.stderr, flush=True)
+        t_ev = time.time()
+        _ = eval_psnr()
+        print(f"# warmup eval took {time.time()-t_ev:.1f}s (includes compiles)",
+              file=sys.stderr, flush=True)
+        t_ev = time.time()
+        _ = eval_psnr()
+        print(f"# steady-state eval: {time.time()-t_ev:.1f}s for 3 views",
+              file=sys.stderr, flush=True)
 
     # reset to a fresh task for the clean timed run (compiles + the
     # visibility-culling grid are disk-cached at this point)
@@ -115,9 +139,18 @@ def bench_fox():
     chunk = 128
     while train_elapsed < BUDGET_S:
         t0 = time.time()
-        task.train(chunk)
-        train_elapsed += time.time() - t0
-        p = eval_psnr()
+        try:
+            # a chunk is ~20-90 s; a stuck tunnel dispatch is a hang,
+            # not an error — bail with the partial result instead of
+            # letting the phase timeout discard everything
+            with _alarm(1500):
+                task.train(chunk)
+                train_elapsed += time.time() - t0
+                p = eval_psnr()
+        except TimeoutError:
+            print("# train/eval chunk hung — returning partial result",
+                  file=sys.stderr, flush=True)
+            break
         best_psnr = max(best_psnr, p)
         print(f"# step {task.training_step} t={train_elapsed:.1f}s psnr={p:.2f}",
               file=sys.stderr, flush=True)
@@ -126,91 +159,109 @@ def bench_fox():
             break
 
     extras = {"steps": task.training_step}
+
+    def _result(ex):
+        if seconds_to_target is not None:
+            return {
+                "metric": "fox_nerf_seconds_to_30db_psnr",
+                "value": round(seconds_to_target, 2),
+                "unit": "s",
+                "vs_baseline": round(seconds_to_target / 10.0, 3),
+                "extra": {**ex, "psnr": round(best_psnr, 2)},
+            }
+        return {
+            "metric": "fox_nerf_psnr_at_budget",
+            "value": round(best_psnr, 2),
+            "unit": "dB",
+            "vs_baseline": round(best_psnr / TARGET_DB, 3),
+            "extra": {**ex, "budget_s": BUDGET_S},
+        }
+
+    # provisional headline NOW: if a render-throughput extra below
+    # hangs (a stuck TPU dispatch is a hang, not an exception) and the
+    # phase is killed at its timeout, the orchestrator still parses
+    # this line and the training result survives
+    print(json.dumps(_result(extras)), flush=True)
+
     # render throughput on the trained model (256², training view 0):
     # exact protocol rendering and the fast stochastic-corner mode
     try:
-        v = int(views[0])
-        fl = (ds.focal_lengths[v, 0] * 256 / w, ds.focal_lengths[v, 1] * 256 / h)
+        with _alarm(600):
+            v = int(views[0])
+            fl = (ds.focal_lengths[v, 0] * 256 / w,
+                  ds.focal_lengths[v, 1] * 256 / h)
 
-        def rays_per_s(quality):
-            kw = dict(focal_length=fl,
-                      principal_point=tuple(ds.principal_points[v]),
-                      background=(0, 0, 0, 0), render_quality=quality)
-            task.render(256, 256, ds.xforms_start[v], **kw)  # compile
-            t0 = time.time()
-            task.render(256, 256, ds.xforms_start[v], **kw)
-            return round(256 * 256 / (time.time() - t0) / 1e6, 4)
+            def rays_per_s(quality):
+                kw = dict(focal_length=fl,
+                          principal_point=tuple(ds.principal_points[v]),
+                          background=(0, 0, 0, 0), render_quality=quality)
+                task.render(256, 256, ds.xforms_start[v], **kw)  # compile
+                t0 = time.time()
+                task.render(256, 256, ds.xforms_start[v], **kw)
+                return round(256 * 256 / (time.time() - t0) / 1e6, 4)
 
-        extras["render_mrays_per_s"] = {"exact": rays_per_s("exact")}
+            extras["render_mrays_per_s"] = {"exact": rays_per_s("exact")}
     except Exception as e:  # noqa: BLE001
         extras["render_mrays_per_s"] = {"error": str(e)[:120]}
+        return _result(extras)  # a hung device won't recover below
     try:
         # baked-cache render throughput (nerf/baked.py): bake once for
         # this camera, then measure steady-state frames at 256² and
         # 1080p (the reference's interactive-render regime)
-        v = int(views[0])
-        t0 = time.time()
-        task._get_baked(origin=np.asarray(ds.xforms_start[v])[:, 3])
-        extras["render_mrays_per_s"]["bake_s"] = round(time.time() - t0, 2)
-        extras["render_mrays_per_s"]["baked"] = rays_per_s("baked")
-        kw = dict(focal_length=(ds.focal_lengths[v, 0], ds.focal_lengths[v, 1]),
-                  principal_point=tuple(ds.principal_points[v]),
-                  background=(0, 0, 0, 0), render_quality="baked")
-        task.render(1920, 1080, ds.xforms_start[v], **kw)  # compile
-        t0 = time.time()
-        task.render(1920, 1080, ds.xforms_start[v], **kw)
-        extras["render_mrays_per_s"]["baked_1080p"] = round(
-            1920 * 1080 / (time.time() - t0) / 1e6, 4)
+        with _alarm(900):
+            v = int(views[0])
+            t0 = time.time()
+            task._get_baked(origin=np.asarray(ds.xforms_start[v])[:, 3])
+            extras["render_mrays_per_s"]["bake_s"] = round(
+                time.time() - t0, 2)
+            extras["render_mrays_per_s"]["baked"] = rays_per_s("baked")
+            kw = dict(focal_length=(ds.focal_lengths[v, 0],
+                                    ds.focal_lengths[v, 1]),
+                      principal_point=tuple(ds.principal_points[v]),
+                      background=(0, 0, 0, 0), render_quality="baked")
+            task.render(1920, 1080, ds.xforms_start[v], **kw)  # compile
+            t0 = time.time()
+            task.render(1920, 1080, ds.xforms_start[v], **kw)
+            extras["render_mrays_per_s"]["baked_1080p"] = round(
+                1920 * 1080 / (time.time() - t0) / 1e6, 4)
     except Exception as e:  # noqa: BLE001
         extras["render_mrays_per_s"]["baked_error"] = str(e)[:120]
     try:
         # slab-sweep render throughput (nerf/slab.py): dense diffuse
         # bake once, then steady-state frames; plus image agreement
         # with the exact renderer at 256²
-        v = int(views[0])
-        t0 = time.time()
-        task._get_slab()
-        extras["render_mrays_per_s"]["slab_bake_s"] = round(
-            time.time() - t0, 2)
-        extras["render_mrays_per_s"]["slab"] = rays_per_s("slab")
-        kw = dict(focal_length=(ds.focal_lengths[v, 0],
-                                ds.focal_lengths[v, 1]),
-                  principal_point=tuple(ds.principal_points[v]),
-                  background=(0, 0, 0, 0), render_quality="slab")
-        task.render(1920, 1080, ds.xforms_start[v], **kw)  # compile
-        t0 = time.time()
-        task.render(1920, 1080, ds.xforms_start[v], **kw)
-        extras["render_mrays_per_s"]["slab_1080p"] = round(
-            1920 * 1080 / (time.time() - t0) / 1e6, 4)
-        fl = (ds.focal_lengths[v, 0] * 256 / w,
-              ds.focal_lengths[v, 1] * 256 / h)
-        kw2 = dict(focal_length=fl,
-                   principal_point=tuple(ds.principal_points[v]),
-                   background=(0, 0, 0, 0))
-        img_s = np.asarray(task.render(256, 256, ds.xforms_start[v],
-                                       render_quality="slab", **kw2))
-        img_e = np.asarray(task.render(256, 256, ds.xforms_start[v], **kw2))
-        mse = float(np.mean((np.clip(img_e[..., :3], 0, 1)
-                             - np.clip(img_s[..., :3], 0, 1)) ** 2))
-        extras["render_mrays_per_s"]["slab_vs_exact_psnr"] = round(
-            -10 * np.log10(max(mse, 1e-10)), 2)
+        with _alarm(900):
+            v = int(views[0])
+            t0 = time.time()
+            task._get_slab()
+            extras["render_mrays_per_s"]["slab_bake_s"] = round(
+                time.time() - t0, 2)
+            extras["render_mrays_per_s"]["slab"] = rays_per_s("slab")
+            kw = dict(focal_length=(ds.focal_lengths[v, 0],
+                                    ds.focal_lengths[v, 1]),
+                      principal_point=tuple(ds.principal_points[v]),
+                      background=(0, 0, 0, 0), render_quality="slab")
+            task.render(1920, 1080, ds.xforms_start[v], **kw)  # compile
+            t0 = time.time()
+            task.render(1920, 1080, ds.xforms_start[v], **kw)
+            extras["render_mrays_per_s"]["slab_1080p"] = round(
+                1920 * 1080 / (time.time() - t0) / 1e6, 4)
+            fl = (ds.focal_lengths[v, 0] * 256 / w,
+                  ds.focal_lengths[v, 1] * 256 / h)
+            kw2 = dict(focal_length=fl,
+                       principal_point=tuple(ds.principal_points[v]),
+                       background=(0, 0, 0, 0))
+            img_s = np.asarray(task.render(256, 256, ds.xforms_start[v],
+                                           render_quality="slab", **kw2))
+            img_e = np.asarray(task.render(256, 256, ds.xforms_start[v],
+                                           **kw2))
+            mse = float(np.mean((np.clip(img_e[..., :3], 0, 1)
+                                 - np.clip(img_s[..., :3], 0, 1)) ** 2))
+            extras["render_mrays_per_s"]["slab_vs_exact_psnr"] = round(
+                -10 * np.log10(max(mse, 1e-10)), 2)
     except Exception as e:  # noqa: BLE001
         extras["render_mrays_per_s"]["slab_error"] = str(e)[:120]
-    if seconds_to_target is not None:
-        return {
-            "metric": "fox_nerf_seconds_to_30db_psnr",
-            "value": round(seconds_to_target, 2),
-            "unit": "s",
-            "vs_baseline": round(seconds_to_target / 10.0, 3),
-            "extra": {**extras, "psnr": round(best_psnr, 2)},
-        }
-    return {
-        "metric": "fox_nerf_psnr_at_budget",
-        "value": round(best_psnr, 2),
-        "unit": "dB",
-        "vs_baseline": round(best_psnr / TARGET_DB, 3),
-        "extra": {**extras, "budget_s": BUDGET_S},
-    }
+    return _result(extras)
 
 
 def bench_sdf(n_steps: int = 512):
@@ -451,7 +502,8 @@ def main():
         # from here) and re-initializes from scratch, with a growing
         # backoff that outlasts the observed outages (~20 min total).
         tries = int(os.environ.get("BENCH_RETRIED", "0"))
-        if "UNAVAILABLE" in str(e) and tries < 6:
+        if (("UNAVAILABLE" in str(e) or isinstance(e, TimeoutError))
+                and tries < 6):
             wait = min(60 * (tries + 1), 300)
             print(f"# TPU worker crash — retry {tries + 1}/6 after {wait}s",
                   file=sys.stderr, flush=True)
