@@ -88,6 +88,9 @@ class MeshSdfMode(enum.Enum):
     WATERTIGHT = "watertight"
     RAYSTAB = "raystab"
     PATH_ESCAPE = "path_escape"
+    # extension: exact sign from angle-weighted pseudonormals (the
+    # default here; the reference's PathEscape needs OptiX)
+    PSEUDONORMAL = "pseudonormal"
 
 
 class RandomMode(enum.Enum):
@@ -197,3 +200,80 @@ def next_multiple(value: int, multiple: int) -> int:
 
 def powi(base: int, exp: int) -> int:
     return base**exp
+
+
+class BoundingBox:
+    """Axis-aligned box with the pyngp ngp.BoundingBox surface
+    (python_api.cu BoundingBox binding; semantics from
+    bounding_box.cuh:40-140). Host-side helper — device-side AABB math
+    stays in plain jnp min/max arrays."""
+
+    def __init__(self, min=None, max=None):  # noqa: A002
+        import numpy as _np
+
+        if min is None:  # empty box, ready for enlarge()
+            self.min = _np.full(3, _np.inf, _np.float32)
+            self.max = _np.full(3, -_np.inf, _np.float32)
+        else:
+            self.min = _np.asarray(min, _np.float32).reshape(3).copy()
+            self.max = _np.asarray(max, _np.float32).reshape(3).copy()
+
+    def __repr__(self):
+        return f"BoundingBox(min={self.min.tolist()}, max={self.max.tolist()})"
+
+    def is_empty(self) -> bool:
+        return bool((self.max < self.min).any())
+
+    @property
+    def center(self):
+        return 0.5 * (self.min + self.max)
+
+    def diag(self):
+        return self.max - self.min
+
+    def enlarge(self, other):
+        """Grow to cover a point (3,) or another BoundingBox."""
+        import numpy as _np
+
+        if isinstance(other, BoundingBox):
+            self.min = _np.minimum(self.min, other.min)
+            self.max = _np.maximum(self.max, other.max)
+        else:
+            p = _np.asarray(other, _np.float32).reshape(3)
+            self.min = _np.minimum(self.min, p)
+            self.max = _np.maximum(self.max, p)
+
+    def inflate(self, amount: float):
+        self.min = self.min - amount
+        self.max = self.max + amount
+
+    def contains(self, p) -> bool:
+        import numpy as _np
+
+        p = _np.asarray(p, _np.float32).reshape(3)
+        return bool(((p >= self.min) & (p <= self.max)).all())
+
+    def intersection(self, other: "BoundingBox") -> "BoundingBox":
+        import numpy as _np
+
+        return BoundingBox(_np.maximum(self.min, other.min),
+                           _np.minimum(self.max, other.max))
+
+    def intersects(self, other: "BoundingBox") -> bool:
+        return not self.intersection(other).is_empty()
+
+    def relative_pos(self, p):
+        import numpy as _np
+
+        p = _np.asarray(p, _np.float32).reshape(3)
+        return (p - self.min) / _np.maximum(self.diag(), 1e-12)
+
+    def distance(self, p) -> float:
+        return float(self.distance_sq(p) ** 0.5)
+
+    def distance_sq(self, p) -> float:
+        import numpy as _np
+
+        p = _np.asarray(p, _np.float32).reshape(3)
+        d = _np.maximum(_np.maximum(self.min - p, p - self.max), 0.0)
+        return float((d * d).sum())

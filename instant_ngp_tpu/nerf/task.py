@@ -115,6 +115,24 @@ class NerfTask:
         self.train_envmap = train_envmap
         self.envmap_resolution = envmap_resolution
         self.use_error_map = use_error_map
+        # the reference splits importance sampling into two flags
+        # (testbed.h:810-811); both ride use_error_map here by default.
+        # Changing them invalidates compiled step programs — call
+        # rebuild_jit_programs() after toggling mid-run.
+        self.sample_image_proportional_to_error = use_error_map
+        self.sample_focal_plane_proportional_to_error = use_error_map
+        # occupancy-grid EMA decay (reference m_nerf.training.
+        # density_grid_decay = 0.95, testbed_nerf.cu:316-338; pyngp
+        # testbed.nerf.training.density_grid_decay)
+        self.density_grid_decay = 0.95
+        # per-image latent codes train whenever present (reference
+        # optimize_extra_dims, testbed.h:802); False zeroes their grads
+        self.optimize_extra_dims = dataset.n_extra_learnable_dims > 0
+        # kept for pyngp API compat (testbed.h:807): the reference
+        # accumulates camera gradients for N steps then applies a host
+        # Adam step; here autodiff camera params update every step
+        # inside the jitted program, so cadence is not applicable
+        self.n_steps_between_cam_updates = 16
 
         # AABB from aabb_scale (reference load_nerf_post,
         # testbed_nerf.cu:2425-2440): unit cube inflated around center.
@@ -635,16 +653,28 @@ class NerfTask:
         k_img, k_uv, k_x, k_y = jax.random.split(key, 4)
         n_img = self.dataset.n_images
         uv_u = jax.random.uniform(k_uv, (R, 2))
-        if not (self.use_error_map and use_cdf):
+        # the two reference toggles (testbed.h:810-811): image pick and
+        # focal-plane (pixel) pick each independently error-proportional
+        img_on = (self.use_error_map and use_cdf
+                  and self.sample_image_proportional_to_error)
+        uv_on = (self.use_error_map and use_cdf
+                 and self.sample_focal_plane_proportional_to_error)
+        if not (img_on or uv_on):
             img_u = jax.random.randint(k_img, (R,), 0, n_img)
             return img_u, uv_u, jnp.ones((R,))
 
         eh, ew = self.error_map_res
         # --- image: inverse CDF over cdf_img (already MIN_PMF-mixed) --
-        u_i = jax.random.uniform(k_img, (R,))
-        img = jnp.sum(data["cdf_img"][None, :] < u_i[:, None], axis=1)
-        img = jnp.clip(img, 0, n_img - 1).astype(jnp.int32)
-        pdf_img = data["pmf_img"][img] * n_img  # relative to uniform
+        if img_on:
+            u_i = jax.random.uniform(k_img, (R,))
+            img = jnp.sum(data["cdf_img"][None, :] < u_i[:, None], axis=1)
+            img = jnp.clip(img, 0, n_img - 1).astype(jnp.int32)
+            pdf_img = data["pmf_img"][img] * n_img  # relative to uniform
+        else:
+            img = jax.random.randint(k_img, (R,), 0, n_img)
+            pdf_img = jnp.ones((R,))
+        if not uv_on:
+            return img, uv_u, pdf_img
 
         # --- uv: 50% uniform / 50% 2D CDF (sample_cdf_2d) -------------
         ux, uy = uv_u[:, 0], uv_u[:, 1]
@@ -900,6 +930,12 @@ class NerfTask:
             new_cam, new_cam_opt = self.cam_opt.update(
                 cam_grads, state.cam_opt, state.cam
             )
+            if "extra" in new_cam and not self.optimize_extra_dims:
+                # reference optimize_extra_dims=false freezes latents:
+                # pin the values (zeroing grads alone leaves Adam
+                # momentum drifting them)
+                new_cam = dict(new_cam)
+                new_cam["extra"] = state.cam["extra"]
         else:
             (loss, (per_ray, depth_ray)), grads = jax.value_and_grad(
                 loss_value, has_aux=True
@@ -1004,16 +1040,36 @@ class NerfTask:
             density_fn,
             key,
             step,
-            decay=0.95,
+            decay=self.density_grid_decay,
             density_activation=self.density_activation,
             full=full,
         )
         # sharpness grid decays alongside the density grid (reference
-        # decay_sharpness_grid_nerf ×0.95, testbed_nerf.cu:2717-2721)
+        # decay_sharpness_grid_nerf, testbed_nerf.cu:2717-2721)
         sharp_grid = state.sharp_grid
         if sharp_grid is not None:
-            sharp_grid = sharp_grid * 0.95
+            sharp_grid = sharp_grid * self.density_grid_decay
         return dataclasses.replace(state, grid=grid, sharp_grid=sharp_grid)
+
+    def set_camera_optimizer_hparams(self, extrinsic_learning_rate=None,
+                                     extrinsic_l2_reg=None):
+        """pyngp extrinsic_learning_rate / extrinsic_l2_reg
+        (testbed.h:785-786). The reference accumulates camera grads for
+        n_steps_between_cam_updates steps and applies one host Adam
+        step; here the camera params update every jitted step, so the
+        per-step learning rate is the given rate divided by that
+        cadence (default 1e-3/16 ≈ the 1e-4 we initialize with)."""
+        from ..ops.optimizers import Optimizer
+
+        spec = self.cam_opt.spec
+        if extrinsic_learning_rate is not None:
+            spec = dataclasses.replace(
+                spec, learning_rate=float(extrinsic_learning_rate)
+                / max(int(self.n_steps_between_cam_updates), 1))
+        if extrinsic_l2_reg is not None:
+            spec = dataclasses.replace(spec, l2_reg=float(extrinsic_l2_reg))
+        self.cam_opt = Optimizer(spec)
+        self.rebuild_jit_programs()
 
     def set_training_image(self, frame_idx: int, img: np.ndarray,
                            depth_img: Optional[np.ndarray] = None,

@@ -57,6 +57,16 @@ class SdfTask:
         self.floor_y = 0.0
         self.floor_enable = False
         self.sun_color = (1.0, 1.0, 1.0)
+        # pyngp Sdf knobs (python_api.cu:855-871): zero_offset inflates
+        # the rendered zero set (advance_pos_kernel_sdf subtracts it,
+        # testbed_sdf.cu:183); analytic_normals picks autodiff vs 6-tap
+        # finite differences (testbed_sdf.cu:1231, epsilon slider);
+        # surface_offset_scale scales the training perturbation noise
+        # (testbed.cu:1244)
+        self.zero_offset = 0.0
+        self.analytic_normals = True
+        self.fd_normals_epsilon = 1e-3
+        self.surface_offset_scale = 1.0
         self.bvh = TriangleBvh(self.triangles)
         self.sdf_mode = sdf_mode
         self.batch_size = batch_size
@@ -137,7 +147,8 @@ class SdfTask:
         pts_surf = surf[:n_surf]
         # logistic-distributed perturbation, stddev ~ 1/sqrt(3)*scale
         u = np.clip(self._rng.random((n_pert, 3)), 1e-6, 1 - 1e-6)
-        logistic = 0.01 * np.log(u / (1 - u)).astype(np.float32)
+        logistic = (0.01 * self.surface_offset_scale
+                    * np.log(u / (1 - u)).astype(np.float32))
         pts_pert = np.clip(surf[n_surf:] + logistic, 0.0, 1.0)
         pts_unif = self._rng.random((n_unif, 3)).astype(np.float32)
 
@@ -352,13 +363,23 @@ class SdfTask:
 
     @property
     def _jit_render(self):
+        # the traced program bakes these knobs in as constants; rebuild
+        # when any changes (render-time settings, not hot-path state)
+        knobs = (float(self.zero_offset), bool(self.analytic_normals),
+                 float(self.fd_normals_epsilon), bool(self.floor_enable),
+                 float(self.floor_y), bool(self.render_shadows))
+        if getattr(self, "_render_knobs", None) != knobs and hasattr(
+                self, "_jit_render_fn"):
+            del self._jit_render_fn
+        self._render_knobs = knobs
         if not hasattr(self, "_jit_render_fn"):
             from functools import partial
 
             aabb_min, aabb_max = 0.0, 1.0
 
             def sdf_fn(params, x):
-                return self.model(params, x).astype(jnp.float32)[:, 0]
+                return (self.model(params, x).astype(jnp.float32)[:, 0]
+                        - self.zero_offset)
 
             def render(params, o, d, light, n_steps):
                 from ..ops.raymarch import ray_intersect_aabb
@@ -398,12 +419,23 @@ class SdfTask:
                 else:
                     floor_hit = jnp.zeros_like(hit)
 
-                # autodiff normals (reference uses input_gradient or
-                # 6-tap finite differences; autodiff is exact here)
-                grad_fn = jax.vmap(
-                    jax.grad(lambda x: self.model(params, x[None]).astype(jnp.float32)[0, 0])
-                )
-                normal = grad_fn(pos)
+                # normals: autodiff input gradient (exact) or 6-tap
+                # finite differences (reference analytic_normals /
+                # FiniteDifferenceNormalsApproximator, testbed.h:238-259)
+                if self.analytic_normals:
+                    grad_fn = jax.vmap(
+                        jax.grad(lambda x: self.model(params, x[None])
+                                 .astype(jnp.float32)[0, 0])
+                    )
+                    normal = grad_fn(pos)
+                else:
+                    eps = self.fd_normals_epsilon
+                    taps = []
+                    for ax in range(3):
+                        e = jnp.zeros(3).at[ax].set(eps)
+                        taps.append(sdf_fn(params, pos + e)
+                                    - sdf_fn(params, pos - e))
+                    normal = jnp.stack(taps, -1) / (2 * eps)
                 normal = normal / jnp.maximum(
                     jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9
                 )

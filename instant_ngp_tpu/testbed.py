@@ -162,6 +162,92 @@ class _NerfTrainingView:
     def n_images_for_training(self):
         return self.dataset.n_images
 
+    def _fwd_get(self, name, default):
+        t = self._task()
+        return getattr(t, name) if t is not None else self._tb._nerf_pending.get(name, default)
+
+    def _fwd_set(self, name, v, rebuild=False):
+        t = self._task()
+        if t is None:
+            self._tb._nerf_pending[name] = v
+        else:
+            setattr(t, name, v)
+            if rebuild:
+                t.rebuild_jit_programs()
+
+    @property
+    def density_grid_decay(self):
+        return self._fwd_get("density_grid_decay", 0.95)
+
+    @density_grid_decay.setter
+    def density_grid_decay(self, v):
+        self._fwd_set("density_grid_decay", float(v))
+
+    @property
+    def sample_image_proportional_to_error(self):
+        return self._fwd_get("sample_image_proportional_to_error", True)
+
+    @sample_image_proportional_to_error.setter
+    def sample_image_proportional_to_error(self, v):
+        self._fwd_set("sample_image_proportional_to_error", bool(v),
+                      rebuild=True)
+
+    @property
+    def sample_focal_plane_proportional_to_error(self):
+        return self._fwd_get("sample_focal_plane_proportional_to_error", True)
+
+    @sample_focal_plane_proportional_to_error.setter
+    def sample_focal_plane_proportional_to_error(self, v):
+        self._fwd_set("sample_focal_plane_proportional_to_error", bool(v),
+                      rebuild=True)
+
+    @property
+    def optimize_extra_dims(self):
+        return self._fwd_get("optimize_extra_dims", False)
+
+    @optimize_extra_dims.setter
+    def optimize_extra_dims(self, v):
+        self._fwd_set("optimize_extra_dims", bool(v), rebuild=True)
+
+    @property
+    def n_steps_between_cam_updates(self):
+        return self._fwd_get("n_steps_between_cam_updates", 16)
+
+    @n_steps_between_cam_updates.setter
+    def n_steps_between_cam_updates(self, v):
+        self._fwd_set("n_steps_between_cam_updates", int(v))
+
+    @property
+    def extrinsic_learning_rate(self):
+        t = self._task()
+        if t is None:
+            return self._tb._nerf_pending.get("extrinsic_learning_rate", 1e-3)
+        return float(t.cam_opt.spec.learning_rate
+                     * max(int(t.n_steps_between_cam_updates), 1))
+
+    @extrinsic_learning_rate.setter
+    def extrinsic_learning_rate(self, v):
+        t = self._task()
+        if t is None:
+            self._tb._nerf_pending["extrinsic_learning_rate"] = float(v)
+        else:
+            t.set_camera_optimizer_hparams(extrinsic_learning_rate=float(v))
+
+    @property
+    def extrinsic_l2_reg(self):
+        t = self._task()
+        if t is None:
+            return self._tb._nerf_pending.get("extrinsic_l2_reg", 1e-4)
+        return float(t.cam_opt.spec.l2_reg)
+
+    @extrinsic_l2_reg.setter
+    def extrinsic_l2_reg(self, v):
+        t = self._task()
+        if t is None:
+            self._tb._nerf_pending["extrinsic_l2_reg"] = float(v)
+        else:
+            t.set_camera_optimizer_hparams(extrinsic_l2_reg=float(v))
+
     def set_image(self, frame_idx: int, img, depth_img=None,
                   depth_scale: float = 1.0):
         """pyngp testbed.nerf.training.set_image (python_api.cu:45-72,
@@ -214,6 +300,146 @@ class _NerfView:
             t.rebuild_jit_programs()
         else:
             self._tb._nerf_pending["cone_angle_constant"] = float(v)
+
+
+class _SdfTrainingView:
+    """pyngp testbed.sdf.training (python_api.cu:869-871)."""
+
+    def __init__(self, tb):
+        object.__setattr__(self, "_tb", tb)
+
+    def _task(self):
+        return self._tb.task
+
+    @property
+    def generate_sdf_data_online(self) -> bool:
+        t = self._task()
+        return t is not None and getattr(t, "_override", None) is None
+
+    @property
+    def surface_offset_scale(self):
+        t = self._task()
+        return t.surface_offset_scale if t else 1.0
+
+    @surface_offset_scale.setter
+    def surface_offset_scale(self, v):
+        self._task().surface_offset_scale = float(v)
+
+
+class _SdfView:
+    """pyngp testbed.sdf.* (python_api.cu:855-867). Attribute names
+    forward to the SdfTask knobs; reads before a scene is loaded give
+    the reference defaults."""
+
+    _FWD = ("analytic_normals", "shadow_sharpness", "fd_normals_epsilon",
+            "zero_offset", "brdf", "floor_enable", "sun_color")
+    _DEFAULTS = {"analytic_normals": True, "shadow_sharpness": 16.0,
+                 "fd_normals_epsilon": 1e-3, "zero_offset": 0.0,
+                 "brdf": None, "floor_enable": False,
+                 "sun_color": (1.0, 1.0, 1.0)}
+
+    def __init__(self, tb):
+        object.__setattr__(self, "_tb", tb)
+        object.__setattr__(self, "training", _SdfTrainingView(tb))
+
+    def _task(self):
+        return self._tb.task if self._tb.mode == TestbedMode.SDF else None
+
+    def __getattr__(self, name):
+        if name in self._FWD:
+            t = self._task()
+            return getattr(t, name) if t else self._DEFAULTS[name]
+        raise AttributeError(name)
+
+    def __setattr__(self, name, value):
+        if name in self._FWD:
+            t = self._task()
+            if t is None:
+                raise RuntimeError(f"load an SDF scene before setting {name}")
+            setattr(t, name, value)
+        else:
+            object.__setattr__(self, name, value)
+
+    @property
+    def mesh_sdf_mode(self):
+        from .common import MeshSdfMode
+
+        t = self._task()
+        return MeshSdfMode(t.sdf_mode if t else "pseudonormal")
+
+    @mesh_sdf_mode.setter
+    def mesh_sdf_mode(self, v):
+        from .common import MeshSdfMode
+
+        self._task().sdf_mode = MeshSdfMode(v).value
+
+    @property
+    def mesh_scale(self):
+        t = self._task()
+        return float(t.mesh_scale) if t else 1.0
+
+    @property
+    def use_triangle_octree(self) -> bool:
+        t = self._task()
+        return bool(t is not None and t.octree is not None)
+
+    @property
+    def calculate_iou_online(self):
+        return self._tb.calculate_iou_online
+
+    @calculate_iou_online.setter
+    def calculate_iou_online(self, v):
+        self._tb.calculate_iou_online = bool(v)
+
+
+class _ImageView:
+    """pyngp testbed.image.* (python_api.cu:874-880)."""
+
+    def __init__(self, tb):
+        object.__setattr__(self, "_tb", tb)
+        object.__setattr__(self, "training", _ImageTrainingView(tb))
+
+    def _task(self):
+        return self._tb.task if self._tb.mode == TestbedMode.IMAGE else None
+
+    @property
+    def random_mode(self):
+        from .common import RandomMode
+
+        t = self._task()
+        return RandomMode(t.random_mode if t else "stratified")
+
+    @random_mode.setter
+    def random_mode(self, v):
+        from .common import RandomMode
+
+        self._task().random_mode = RandomMode(v).value
+
+
+class _ImageTrainingView:
+    def __init__(self, tb):
+        object.__setattr__(self, "_tb", tb)
+
+    def _task(self):
+        return self._tb.task
+
+    @property
+    def snap_to_pixel_centers(self):
+        t = self._task()
+        return t.snap_to_pixel_centers if t else False
+
+    @snap_to_pixel_centers.setter
+    def snap_to_pixel_centers(self, v):
+        self._task().snap_to_pixel_centers = bool(v)
+
+    @property
+    def linear_colors(self):
+        t = self._task()
+        return t.linear_colors if t else False
+
+    @linear_colors.setter
+    def linear_colors(self, v):
+        self._task().linear_colors = bool(v)
 
 
 def _unsharp(frame: np.ndarray, amount: float) -> np.ndarray:
@@ -274,9 +500,30 @@ class Testbed:
         # ERenderMode binding, :630)
         self.render_mode = RenderMode.SHADE
         self.slice_plane_z = 0.0
+        # principal point used when rendering free cameras (reference
+        # m_screen_center, testbed.h:646; dataset views keep their own)
+        self.screen_center = (0.5, 0.5)
+        # reference m_fixed_res_factor: render factor = 8/this when
+        # dynamic_res is off (testbed.cu:3318, slider :1434)
+        self.fixed_res_factor = 8
+        # alpha<1 pixels composite over a gray checkerboard instead of
+        # background_color (reference m_render_transparency_as_checkerboard,
+        # render_buffer tonemap path)
+        self.render_transparency_as_checkerboard = False
+        # reference m_bounding_radius (testbed.h:664): camera orbit home
+        self.bounding_radius = 1.0
+        # jax.jit compiles every hot path; kept for pyngp API compat
+        # with the reference's NVRTC megakernel toggle (m_jit_fusion)
+        self.jit_fusion = True
+        # SDF: compute IoU vs GT every 16 frames into self.sdf_iou
+        # (reference calculate_iou_online + its ImGui display)
+        self.calculate_iou_online = False
+        self.sdf_iou: Optional[float] = None
         self.root_dir = str(Path(__file__).resolve().parents[1])
         self._nerf_pending: dict = {}
         self.nerf = _NerfView(self)
+        self.sdf = _SdfView(self)
+        self.image = _ImageView(self)
         self._view_index: Optional[int] = None
 
         # timing meters (reference testbed.h:1023-1027)
@@ -363,6 +610,16 @@ class Testbed:
                 self.task.march_cfg = dataclasses.replace(
                     self.task.march_cfg, cone_angle=pend["cone_angle_constant"])
                 self.task.rebuild_jit_programs()
+            for k in ("density_grid_decay",
+                      "sample_image_proportional_to_error",
+                      "sample_focal_plane_proportional_to_error",
+                      "optimize_extra_dims", "n_steps_between_cam_updates"):
+                if k in pend:
+                    setattr(self.task, k, pend[k])
+            if "extrinsic_learning_rate" in pend or "extrinsic_l2_reg" in pend:
+                self.task.set_camera_optimizer_hparams(
+                    extrinsic_learning_rate=pend.get("extrinsic_learning_rate"),
+                    extrinsic_l2_reg=pend.get("extrinsic_l2_reg"))
         elif mode == TestbedMode.SDF:
             from .sdf.task import SdfTask
 
@@ -390,6 +647,12 @@ class Testbed:
             if getattr(self.task, "training_aborted", False):
                 # reference sets m_train = false on zero-sample batches
                 self.shall_train = False
+            if (self.calculate_iou_online and self.mode == TestbedMode.SDF
+                    and self.training_step % 16 == 0):
+                # reference calculate_iou_online: periodic EMA IoU
+                # display (testbed_sdf.cu:1636-1680); small sample count
+                # per tick like the reference's online estimate
+                self.sdf_iou = float(self.task.calculate_iou(1 << 14))
         self.frame_ms.update((time.perf_counter() - t0) * 1000.0)
         return True
 
@@ -473,6 +736,9 @@ class Testbed:
                 self.render_ms.update((time.perf_counter() - t0) * 1000.0)
                 return frame
             self.task.min_transmittance = self.nerf_min_transmittance
+            bg = ((0.0, 0.0, 0.0, 0.0)
+                  if self.render_transparency_as_checkerboard
+                  else tuple(self.background_color))
             kw = {}
             if self._view_index is not None:
                 # camera was set from a training view: use that view's
@@ -483,13 +749,17 @@ class Testbed:
                      / ds.resolution[self.fov_axis])
                 kw["focal_length"] = tuple(ds.focal_lengths[i] * s)
                 kw["principal_point"] = tuple(ds.principal_points[i])
+            else:
+                # free camera: the GUI screen-center offset shifts the
+                # principal point (reference m_screen_center)
+                kw["principal_point"] = tuple(self.screen_center)
             if self._task_render_mode() == "slice":
                 # 2D slice render path (testbed_nerf.cu:2038-2096):
                 # model eval on the plane at slice_plane_z + scale
                 frame = self.task.render_slice(
                     width, height, cam, fov=fov or self.fov,
                     plane_dist=self.slice_plane_z + self.scale,
-                    background=tuple(self.background_color), **kw)
+                    background=bg, **kw)
                 from .common import NerfActivation
 
                 produced_linear = (self.task.rgb_activation
@@ -503,7 +773,7 @@ class Testbed:
                 cam,
                 fov=fov or self.fov,
                 spp=spp,
-                background=tuple(self.background_color),
+                background=bg,
                 render_quality=self.render_quality,
                 render_mode=self._task_render_mode(),
                 **kw,
@@ -546,6 +816,15 @@ class Testbed:
                 lin = np.asarray(srgb_to_linear(np.clip(frame[..., :3], 0, 1)))
                 frame[..., :3] = np.asarray(
                     linear_to_srgb(np.clip(lin * 2.0 ** self.exposure, 0, 1)))
+        if self.render_transparency_as_checkerboard:
+            # composite the (premultiplied, transparent-background)
+            # color over a gray checkerboard (reference tonemap stage
+            # option m_render_transparency_as_checkerboard)
+            frame = np.array(frame, copy=True)
+            ys, xs = np.mgrid[0:frame.shape[0], 0:frame.shape[1]]
+            checker = np.where(((xs // 8) + (ys // 8)) % 2 == 0, 0.55, 0.4)
+            a = np.clip(frame[..., 3:4], 0.0, 1.0)
+            frame[..., :3] = frame[..., :3] + checker[..., None] * (1 - a)
         self.render_ms.update((time.perf_counter() - t0) * 1000.0)
         return frame
 
@@ -584,6 +863,49 @@ class Testbed:
             [np.eye(3, dtype=np.float32),
              np.array([[0.5], [0.5], [-1.5]], np.float32)], axis=1)
         self.fov = 50.625
+        self.screen_center = (0.5, 0.5)
+
+    @property
+    def default_camera(self) -> np.ndarray:
+        """The home view matrix reset_camera restores (pyngp
+        m_default_camera, python_api.cu `default_camera`)."""
+        return np.concatenate(
+            [np.eye(3, dtype=np.float32),
+             np.array([[0.5], [0.5], [-1.5]], np.float32)], axis=1)
+
+    @property
+    def aabb(self):
+        """Scene AABB as a BoundingBox (pyngp testbed.aabb)."""
+        from .common import BoundingBox
+
+        if self.mode == TestbedMode.NERF and self.task is not None:
+            return BoundingBox(self.task.aabb_min, self.task.aabb_max)
+        return BoundingBox(np.zeros(3), np.ones(3))
+
+    @property
+    def raw_aabb(self):
+        """SDF: the mesh bounds BEFORE unit-cube normalization (pyngp
+        testbed.raw_aabb; reference m_raw_aabb, testbed_sdf.cu
+        load_mesh). Recovered by inverting world = raw·scale + offset."""
+        from .common import BoundingBox
+
+        if self.mode == TestbedMode.SDF and self.task is not None:
+            t = self.task
+            raw = (t.triangles.reshape(-1, 3) - t.mesh_offset) / t.mesh_scale
+            return BoundingBox(raw.min(0), raw.max(0))
+        return self.aabb
+
+    def free_temporary_memory(self):
+        """pyngp Testbed.free_temporary_memory: drop cached render
+        accelerators (baked/slab caches, compiled-program handles) —
+        XLA owns device allocation, so this is the meaningful analog
+        of the reference's arena release."""
+        import jax
+
+        for attr in ("_baked_cache", "_slab_cache", "_slice_eval_fn"):
+            if self.task is not None and hasattr(self.task, attr):
+                setattr(self.task, attr, None)
+        jax.clear_caches()
 
     def first_training_view(self):
         self.set_camera_to_training_view(0)
@@ -747,7 +1069,12 @@ class Testbed:
             from .render.buffer import DynamicResolution
 
             self._dyn_res = DynamicResolution(self.dynamic_res_target_fps)
-        factor = self._dyn_res.factor
+        if self.dynamic_res:
+            factor = self._dyn_res.factor
+        else:
+            # reference: factor = 8 / m_fixed_res_factor
+            # (testbed.cu:3318; slider default 8 → full resolution)
+            factor = min(1.0, 8.0 / max(float(self.fixed_res_factor), 1.0))
         rw = max(16, int(width * factor))
         rh = max(16, int(height * factor))
         t0 = time.perf_counter()

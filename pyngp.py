@@ -16,6 +16,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from instant_ngp_tpu.common import (  # noqa: F401
+    BoundingBox,
     ColorSpace,
     LensMode,
     LossType,
@@ -29,6 +30,11 @@ from instant_ngp_tpu.common import (  # noqa: F401
 )
 from instant_ngp_tpu.testbed import Testbed, mode_from_scene  # noqa: F401
 
+
+def mode_from_string(s: str) -> TestbedMode:
+    """pyngp.mode_from_string (python_api.cu mode_from_string binding)."""
+    return TestbedMode(str(s).lower())
+
 # enum aliases matching pyngp naming (python_api.cu:309-430)
 Nerf = TestbedMode.NERF
 Sdf = TestbedMode.SDF
@@ -38,7 +44,9 @@ Volume = TestbedMode.VOLUME
 __all__ = [
     "Testbed",
     "TestbedMode",
+    "BoundingBox",
     "mode_from_scene",
+    "mode_from_string",
     "Nerf",
     "Sdf",
     "Image",

@@ -1,0 +1,235 @@
+"""pyngp binding-surface breadth added in round 3: BoundingBox,
+testbed.sdf/image views, sampling toggles, camera-opt hyperparams,
+render knobs (python_api.cu:430-970, testbed.h:780-815)."""
+import numpy as np
+import pytest
+
+import pyngp as ngp
+from instant_ngp_tpu.testbed import Testbed, TestbedMode
+
+
+def _nerf_testbed():
+    import __graft_entry__ as g
+    from instant_ngp_tpu.nerf.task import NerfTask
+
+    tb = Testbed()
+    tb.network_config = g._tiny_nerf_config()
+    ds = g._synthetic_dataset(n_images=2, w=16, h=16)
+    tb.nerf_dataset = ds
+    tb.mode = TestbedMode.NERF
+    tb.task = NerfTask(ds, tb.network_config, n_rays_per_batch=64,
+                       max_samples_per_ray=4, n_march_iters=8)
+    return tb
+
+
+class TestBoundingBox:
+    def test_geometry(self):
+        b = ngp.BoundingBox([0, 0, 0], [2, 2, 2])
+        assert b.contains([1, 1, 1]) and not b.contains([3, 0, 0])
+        assert abs(b.distance([4, 0, 0]) - 2.0) < 1e-6
+        assert b.intersects(ngp.BoundingBox([1, 1, 1], [3, 3, 3]))
+        assert not b.intersects(ngp.BoundingBox([5, 5, 5], [6, 6, 6]))
+        np.testing.assert_allclose(b.relative_pos([1, 0, 2]), [0.5, 0, 1])
+        e = ngp.BoundingBox()
+        assert e.is_empty()
+        e.enlarge([1, 2, 3])
+        e.enlarge(b)
+        np.testing.assert_allclose(e.min, 0.0)
+        np.testing.assert_allclose(e.max, [2, 2, 3])
+
+    def test_mode_from_string(self):
+        assert ngp.mode_from_string("nerf") == ngp.TestbedMode.NERF
+        assert ngp.mode_from_string("sdf") == ngp.TestbedMode.SDF
+
+
+class TestNerfTrainingKnobs:
+    def test_sampling_toggles_change_sampling(self):
+        import jax
+        import jax.numpy as jnp
+
+        tb = _nerf_testbed()
+        task = tb.task
+        task.train(2)
+        tr = tb.nerf.training
+        assert tr.sample_image_proportional_to_error is True
+        # with both off, _sample_pixels is uniform: pdf == 1 everywhere
+        tr.sample_image_proportional_to_error = False
+        tr.sample_focal_plane_proportional_to_error = False
+        data = dict(task.data)
+        # CDF tensors exist only when the map rebuilt; fake them
+        n, (eh, ew) = task.dataset.n_images, task.error_map_res
+        data["cdf_img"] = jnp.linspace(0.3, 1.0, n)
+        data["pmf_img"] = jnp.full((n,), 1.0 / n)
+        data["cdf_y"] = jnp.tile(jnp.linspace(0.1, 1, eh), (n, 1))
+        data["cdf_x"] = jnp.tile(jnp.linspace(0.1, 1, ew), (n, eh, 1))
+        _, _, pdf = task._sample_pixels(data, jax.random.PRNGKey(0), 32,
+                                        use_cdf=True)
+        np.testing.assert_allclose(np.asarray(pdf), 1.0)
+        # image-only CDF: pdf = image pmf ratio (uniform pmf → 1.0),
+        # uv untouched by the 50/50 split
+        tr.sample_image_proportional_to_error = True
+        _, uv, pdf = task._sample_pixels(data, jax.random.PRNGKey(0), 32,
+                                         use_cdf=True)
+        np.testing.assert_allclose(np.asarray(pdf), 1.0, rtol=1e-5)
+        # both on: the 50/50 uv branch yields non-unit pdfs
+        tr.sample_focal_plane_proportional_to_error = True
+        _, _, pdf = task._sample_pixels(data, jax.random.PRNGKey(0), 256,
+                                        use_cdf=True)
+        assert np.abs(np.asarray(pdf) - 1.0).max() > 1e-3
+
+    def test_density_grid_decay_and_cam_hparams(self):
+        tb = _nerf_testbed()
+        tr = tb.nerf.training
+        assert tr.density_grid_decay == 0.95
+        tr.density_grid_decay = 0.9
+        assert tb.task.density_grid_decay == 0.9
+        tr.extrinsic_learning_rate = 1.6e-3
+        assert abs(tb.task.cam_opt.spec.learning_rate - 1e-4) < 1e-12
+        tr.extrinsic_l2_reg = 1e-3
+        assert tb.task.cam_opt.spec.l2_reg == 1e-3
+        assert abs(tr.extrinsic_learning_rate - 1.6e-3) < 1e-12
+        assert tr.n_steps_between_cam_updates == 16
+        # training still healthy after optimizer swap
+        assert np.isfinite(tb.task.train(1))
+
+    def test_optimize_extra_dims_freezes_latents(self):
+        import __graft_entry__ as g
+        from instant_ngp_tpu.nerf.task import NerfTask
+
+        ds = g._synthetic_dataset(n_images=2, w=16, h=16)
+        ds.n_extra_learnable_dims = 4
+        task = NerfTask(ds, g._tiny_nerf_config(), n_rays_per_batch=64,
+                        max_samples_per_ray=4, n_march_iters=8)
+        assert task.optimize_extra_dims is True
+        before = np.asarray(task.state.cam["extra"]).copy()
+        task.train(2)
+        moved = np.abs(np.asarray(task.state.cam["extra"]) - before).max()
+        assert moved > 0.0
+        task.optimize_extra_dims = False
+        task.rebuild_jit_programs()
+        before = np.asarray(task.state.cam["extra"]).copy()
+        task.train(2)
+        frozen = np.abs(np.asarray(task.state.cam["extra"]) - before).max()
+        assert frozen < moved * 1e-2
+
+
+class TestTestbedRenderKnobs:
+    def test_checkerboard_transparency(self):
+        tb = _nerf_testbed()
+        tb.task.train(1)
+        cam = tb.nerf_dataset.xforms_start[0]
+        tb.background_color = np.array([0, 0, 0, 0], np.float32)
+        plain = tb.render(16, 16, camera_matrix=cam)
+        tb.render_transparency_as_checkerboard = True
+        checked = tb.render(16, 16, camera_matrix=cam)
+        # empty regions (alpha≈0) must show the checkerboard pattern
+        a = plain[..., 3]
+        if (a < 0.05).any():
+            vals = checked[..., 0][a < 0.05]
+            near = (np.abs(vals - 0.55) < 0.06) | (np.abs(vals - 0.4) < 0.06)
+            assert near.all()
+
+    def test_fixed_res_factor(self):
+        tb = _nerf_testbed()
+        tb.task.train(1)
+        tb.dynamic_res = False
+        tb.fixed_res_factor = 16  # factor 0.5 → renders at half res
+        frame = tb.render_with_dynamic_res(
+            32, 32, camera_matrix=tb.nerf_dataset.xforms_start[0])
+        assert frame.shape == (32, 32, 4)
+        # upsampled by pixel repetition: 2x2 blocks are constant
+        assert np.allclose(frame[0::2, 0::2], frame[1::2, 1::2])
+
+    def test_aabb_and_default_camera(self):
+        tb = _nerf_testbed()
+        box = tb.aabb
+        assert box.contains(box.center)
+        np.testing.assert_allclose(tb.default_camera[:, :3], np.eye(3))
+        tb.screen_center = (0.4, 0.6)
+        tb.reset_camera()
+        assert tb.screen_center == (0.5, 0.5)
+
+    def test_free_temporary_memory(self):
+        tb = _nerf_testbed()
+        tb.task.train(1)
+        tb.task.bake(res0=16)
+        tb.free_temporary_memory()
+        assert tb.task._baked_cache is None
+
+
+class TestSdfView:
+    def _tb(self):
+        from instant_ngp_tpu.sdf.task import SdfTask
+        from tests.test_round3_fixes import _cube_tris
+        from tests.test_tasks import tiny_config
+
+        tb = Testbed()
+        tb.mode = TestbedMode.SDF
+        tb.task = SdfTask(_cube_tris(), tiny_config(loss="Mape"),
+                          batch_size=512)
+        return tb
+
+    def test_knob_forwarding(self):
+        from instant_ngp_tpu.common import MeshSdfMode
+
+        tb = self._tb()
+        assert tb.sdf.mesh_sdf_mode == MeshSdfMode("pseudonormal")
+        tb.sdf.zero_offset = 0.05
+        assert tb.task.zero_offset == 0.05
+        tb.sdf.analytic_normals = False
+        tb.sdf.fd_normals_epsilon = 2e-3
+        assert tb.task.fd_normals_epsilon == 2e-3
+        assert tb.sdf.training.generate_sdf_data_online
+        tb.sdf.training.surface_offset_scale = 2.0
+        assert tb.task.surface_offset_scale == 2.0
+        assert tb.sdf.mesh_scale == pytest.approx(tb.task.mesh_scale)
+        assert not tb.sdf.use_triangle_octree
+        raw = tb.raw_aabb
+        # the test cube spans [0.3, 0.7]³ pre-normalization
+        np.testing.assert_allclose(raw.min, 0.3, atol=1e-5)
+        np.testing.assert_allclose(raw.max, 0.7, atol=1e-5)
+
+    def test_zero_offset_and_fd_normals_render(self):
+        tb = self._tb()
+        tb.task.train(2)
+        cam = np.hstack([np.eye(3), [[0.5], [0.5], [-0.8]]]).astype(np.float32)
+        f0 = tb.task.render(8, 8, cam, fov=60.0)
+        tb.sdf.zero_offset = -0.02  # deflate the surface
+        f1 = tb.task.render(8, 8, cam, fov=60.0)
+        assert np.abs(f1 - f0).max() > 0  # knob reaches the tracer
+        tb.sdf.analytic_normals = False
+        f2 = tb.task.render(8, 8, cam, fov=60.0)
+        assert np.isfinite(f2).all()
+
+    def test_iou_online(self):
+        tb = self._tb()
+        tb.calculate_iou_online = True
+        tb.scene_path = "cube"
+        for _ in range(16):
+            tb.frame()
+        assert tb.sdf_iou is not None and 0.0 <= tb.sdf_iou <= 1.0
+
+
+class TestImageView:
+    def test_forwarding(self):
+        from instant_ngp_tpu.image_fit.task import ImageTask
+
+        tb = Testbed()
+        tb.mode = TestbedMode.IMAGE
+        rng = np.random.default_rng(0)
+        img = rng.random((32, 32, 3)).astype(np.float32)
+        tb.task = ImageTask(img, False,
+                            {"encoding": {"otype": "HashGrid",
+                                          "n_levels": 4},
+                             "network": {"n_neurons": 16,
+                                         "n_hidden_layers": 1}},
+                            batch_size=256)
+        from instant_ngp_tpu.common import RandomMode
+
+        assert tb.image.random_mode == RandomMode("stratified")
+        tb.image.random_mode = RandomMode("halton")
+        assert tb.task.random_mode == "halton"
+        tb.image.training.snap_to_pixel_centers = True
+        assert tb.task.snap_to_pixel_centers
+        tb.image.training.linear_colors = True
+        assert tb.task.linear_colors
