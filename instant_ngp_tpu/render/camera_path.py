@@ -82,12 +82,91 @@ class CameraPath:
     keyframes: list = dataclasses.field(default_factory=list)
     loop: bool = False
     spline_order: int = 3  # 3 = Catmull-Rom, 1 = linear
+    # pyngp playback state (python_api.cu CameraPath binding :929-945)
+    play_time: float = 0.0
+    auto_play_speed: float = 0.0
+    update_cam_from_path: bool = False
+    keyframe_subsampling: int = 1
+    duration_seconds: float = 0.0
+    rendering: bool = False
+    render_frame_idx: int = 0
+    render_start_time: float = 0.0
 
     def add_camera(self, matrix: np.ndarray, fov: float = 50.0, **kw):
         self.keyframes.append(Keyframe.from_matrix(matrix, fov=fov, **kw))
 
+    # --- pyngp playback API (semantics from camera_path.h:140-195,
+    # camera_path.cu:203-258) ---------------------------------------
+    def clear(self):
+        self.keyframes.clear()
+        self.play_time = 0.0
+        self.duration_seconds = 0.0
+
+    def empty(self) -> bool:
+        return not self.keyframes
+
+    def has_valid_timestamps(self) -> bool:
+        prev = 0.0
+        for k in self.keyframes:
+            if not (k.timestamp > prev):
+                return False
+            prev = k.timestamp
+        return True
+
+    def make_keyframe_timestamps_equidistant(self):
+        n = len(self.keyframes)
+        for i, k in enumerate(self.keyframes):
+            k.timestamp = (i + 1) / n
+        self.duration_seconds = 1.0
+
+    def sanitize_keyframes(self):
+        if not self.has_valid_timestamps():
+            self.make_keyframe_timestamps_equidistant()
+
+    def get_keyframe(self, i: int) -> Keyframe:
+        n = len(self.keyframes)
+        if self.loop:
+            return self.keyframes[(i + n) % n]
+        return self.keyframes[int(np.clip(i, 0, n - 1))]
+
+    def get_playtime(self, i: int) -> float:
+        n = len(self.keyframes)
+        if i <= 0 or n < 2:
+            return 0.0
+        kf = self.keyframes[int(np.clip(i - 1, 0, n - 1))]
+        duration = (self.keyframes[-1].timestamp if self.loop
+                    else self.keyframes[n - 2].timestamp)
+        return kf.timestamp / duration
+
+    def get_pos(self, playtime: float) -> tuple[int, float]:
+        """(kfidx, t): segment index + fraction at `playtime` ∈ [0,1],
+        respecting keyframe timestamps (camera_path.cu:233-258)."""
+        n = len(self.keyframes)
+        if n == 0:
+            return -1, 0.0
+        if n == 1:
+            return 0, playtime
+        duration = (self.keyframes[-1].timestamp if self.loop
+                    else self.keyframes[n - 2].timestamp)
+        pt = playtime * duration
+        stamps = [k.timestamp for k in self.keyframes]
+        i = int(np.searchsorted(stamps, pt, side="right"))
+        i = int(np.clip(i, 0, n - (1 if self.loop else 2)))
+        prev = 0.0 if i == 0 else stamps[i - 1]
+        return i, (pt - prev) / max(stamps[i] - prev, 1e-12)
+
+    def eval_camera_path(self, t: float) -> Keyframe:
+        """Timestamp-aware spline evaluation (the pyngp method); falls
+        back to uniform index spacing when timestamps are invalid."""
+        if not self.has_valid_timestamps():
+            return self.eval(t)
+        i, f = self.get_pos(t)
+        if i < 0:
+            raise ValueError("empty camera path")
+        return self._eval_segment(i, f)
+
     def eval(self, t: float) -> Keyframe:
-        """t in [0,1] over the whole path."""
+        """t in [0,1] over the whole path (uniform keyframe spacing)."""
         n = len(self.keyframes)
         if n == 0:
             raise ValueError("empty camera path")
@@ -96,6 +175,12 @@ class CameraPath:
         x = t * (n - 1 if not self.loop else n)
         i = int(np.floor(x))
         f = x - i
+        return self._eval_segment(i, f)
+
+    def _eval_segment(self, i: int, f: float) -> Keyframe:
+        n = len(self.keyframes)
+        if n == 1:
+            return self.keyframes[0]
 
         def kf(j):
             if self.loop:

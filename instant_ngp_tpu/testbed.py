@@ -519,6 +519,12 @@ class Testbed:
         # (reference calculate_iou_online + its ImGui display)
         self.calculate_iou_online = False
         self.sdf_iou: Optional[float] = None
+        # camera-path playback/recording (pyngp m_record_camera_path,
+        # CameraPath.update_cam_from_path/play_time/auto_play_speed)
+        from .render.camera_path import CameraPath
+
+        self.camera_path = CameraPath()
+        self.record_camera_path = False
         self.root_dir = str(Path(__file__).resolve().parents[1])
         self._nerf_pending: dict = {}
         self.nerf = _NerfView(self)
@@ -653,6 +659,24 @@ class Testbed:
                 # display (testbed_sdf.cu:1636-1680); small sample count
                 # per tick like the reference's online estimate
                 self.sdf_iou = float(self.task.calculate_iou(1 << 14))
+        cp = self.camera_path
+        if self.record_camera_path:
+            # record the live camera as keyframes (the reference's
+            # "record" GUI toggle, testbed.cu camera-path panel)
+            cp.add_camera(self.camera_matrix, fov=self.fov,
+                          timestamp=(len(cp.keyframes) + 1) / 30.0)
+            cp.duration_seconds = cp.keyframes[-1].timestamp
+        elif cp.update_cam_from_path and not cp.empty():
+            # playback: advance play_time and drive the view camera
+            # (CameraPath.update_cam_from_path + auto_play_speed)
+            dt = (time.perf_counter() - t0)
+            cp.play_time += cp.auto_play_speed * dt
+            cp.play_time = (cp.play_time % 1.0 if cp.loop
+                            else min(cp.play_time, 1.0))
+            kf = cp.eval_camera_path(cp.play_time)
+            self.camera_matrix = np.asarray(kf.to_matrix(), np.float32)
+            self.fov = float(kf.fov)
+            self._view_index = None
         self.frame_ms.update((time.perf_counter() - t0) * 1000.0)
         return True
 
@@ -690,7 +714,8 @@ class Testbed:
         start_t/end_t in [0,1] sample the loaded camera path (video
         rendering; shutter_fraction positions the exposure midpoint)."""
         t0 = time.perf_counter()
-        if start_t >= 0.0 and getattr(self, "camera_path", None) is not None:
+        if (start_t >= 0.0 and getattr(self, "camera_path", None) is not None
+                and not self.camera_path.empty()):
             t_eval = start_t + max(end_t - start_t, 0.0) * shutter_fraction
             kf = self.camera_path.eval(t_eval)
             target = np.asarray(kf.to_matrix(), np.float32)

@@ -233,3 +233,52 @@ class TestImageView:
         assert tb.task.snap_to_pixel_centers
         tb.image.training.linear_colors = True
         assert tb.task.linear_colors
+
+
+class TestCameraPathPlayback:
+    def test_timestamp_api(self):
+        from instant_ngp_tpu.render.camera_path import CameraPath
+
+        cp = CameraPath()
+        for k in range(4):
+            m = np.hstack([np.eye(3), [[0], [0], [float(k)]]]).astype(
+                np.float32)
+            cp.add_camera(m, fov=50.0 + k)
+        assert not cp.has_valid_timestamps()
+        cp.sanitize_keyframes()
+        assert cp.has_valid_timestamps()
+        assert cp.duration_seconds == 1.0
+        # equidistant stamps reproduce the uniform-index spline
+        for t in (0.0, 0.3, 0.5, 0.9, 1.0):
+            np.testing.assert_allclose(cp.eval_camera_path(t).T,
+                                       cp.eval(t).T, atol=1e-5)
+        # non-equidistant: first segment stretched to 75% of playtime
+        cp.keyframes[0].timestamp = 0.75
+        cp.keyframes[1].timestamp = 0.8
+        cp.keyframes[2].timestamp = 0.9
+        cp.keyframes[3].timestamp = 1.0
+        i, f = cp.get_pos(0.5)
+        assert i == 0 and 0 < f < 1
+        assert cp.get_pos(0.99)[0] == 2
+        cp.clear()
+        assert cp.empty() and cp.play_time == 0.0
+
+    def test_frame_playback_and_record(self):
+        tb = _nerf_testbed()
+        tb.shall_train = False
+        # record 3 frames
+        tb.record_camera_path = True
+        for _ in range(3):
+            tb.frame()
+        assert len(tb.camera_path.keyframes) == 3
+        assert tb.camera_path.has_valid_timestamps()
+        # playback drives the camera
+        tb.record_camera_path = False
+        cp = tb.camera_path
+        cp.keyframes[0].T = np.array([9.0, 9.0, 9.0], np.float32)
+        cp.update_cam_from_path = True
+        cp.auto_play_speed = 0.0
+        cp.play_time = 0.0
+        tb.frame()
+        np.testing.assert_allclose(tb.camera_matrix[:, 3], [9, 9, 9],
+                                   atol=1e-5)
