@@ -161,8 +161,17 @@ class ImageTask:
         self.training_step = 0
         self._key = jax.random.PRNGKey(seed ^ 0x5EED)
 
+        # pyngp shall_train_encoding / shall_train_network freeze
+        # toggles; changing them requires rebuild_jit_programs()
+        self.shall_train_encoding = True
+        self.shall_train_network = True
         self._jit_step = jax.jit(self._step)
         self._jit_infer = jax.jit(self._infer)
+
+    def rebuild_jit_programs(self):
+        """Re-trace the step after changing trace-time knobs
+        (shall_train_*)."""
+        self._jit_step = jax.jit(self._step)
 
     # --- training ---
     def _sample_positions(self, key, step):
@@ -201,8 +210,12 @@ class ImageTask:
             return jnp.mean(self.loss(target, pred))
 
         loss, grads = jax.value_and_grad(loss_value)(params)
-        params, opt_state = self.opt.update(grads, opt_state, params)
-        return params, opt_state, loss
+        new_params, opt_state = self.opt.update(grads, opt_state, params)
+        if not self.shall_train_encoding and "enc" in new_params:
+            new_params = {**new_params, "enc": params["enc"]}
+        if not self.shall_train_network:
+            new_params = {**new_params, "net": params["net"]}
+        return new_params, opt_state, loss
 
     def train(self, n_steps: int = 1) -> float:
         loss = None

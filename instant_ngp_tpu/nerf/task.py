@@ -128,6 +128,11 @@ class NerfTask:
         # per-image latent codes train whenever present (reference
         # optimize_extra_dims, testbed.h:802); False zeroes their grads
         self.optimize_extra_dims = dataset.n_extra_learnable_dims > 0
+        # pyngp shall_train_encoding / shall_train_network (GUI
+        # freeze toggles): pinned after the optimizer step; changing
+        # them needs rebuild_jit_programs()
+        self.shall_train_encoding = True
+        self.shall_train_network = True
         # kept for pyngp API compat (testbed.h:807): the reference
         # accumulates camera gradients for N steps then applies a host
         # Adam step; here autodiff camera params update every step
@@ -943,6 +948,18 @@ class NerfTask:
             new_cam, new_cam_opt = state.cam, state.cam_opt
 
         new_params, new_opt = self.opt.update(grads, state.opt_state, state.params)
+        if not (self.shall_train_encoding and self.shall_train_network):
+            # GUI freeze toggles: pin the frozen subtree's values (the
+            # optimizer state still advances, like pausing in the GUI)
+            enc_keys = ("pos_enc", "dir_enc", "enc")
+            new_params = {
+                k: (state.params[k]
+                    if ((k in enc_keys and not self.shall_train_encoding)
+                        or (k not in enc_keys
+                            and not self.shall_train_network))
+                    else v)
+                for k, v in new_params.items()
+            }
 
         # error-map deposit: loss ÷ sampling pdf, bilinear into the 4
         # neighboring cells (reference compute_loss kernel deposit_val,

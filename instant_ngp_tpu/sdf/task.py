@@ -115,8 +115,17 @@ class SdfTask:
         self._rng = np.random.default_rng(seed)
         self._iou_ema = None
 
+        # pyngp shall_train_encoding / shall_train_network freeze
+        # toggles; changing them requires rebuild_jit_programs()
+        self.shall_train_encoding = True
+        self.shall_train_network = True
         self._jit_step = jax.jit(self._step)
         self._jit_infer = jax.jit(lambda p, x: self.model(p, x).astype(jnp.float32)[:, 0])
+
+    def rebuild_jit_programs(self):
+        """Re-trace the step after changing trace-time knobs
+        (shall_train_*)."""
+        self._jit_step = jax.jit(self._step)
 
     # ------------------------------------------------------------------
     def _sample_surface(self, n: int) -> np.ndarray:
@@ -166,8 +175,12 @@ class SdfTask:
             return jnp.mean(self.loss(target, pred))
 
         loss, grads = jax.value_and_grad(loss_value)(params)
-        params, opt_state = self.opt.update(grads, opt_state, params)
-        return params, opt_state, loss
+        new_params, opt_state = self.opt.update(grads, opt_state, params)
+        if not self.shall_train_encoding and "enc" in new_params:
+            new_params = {**new_params, "enc": params["enc"]}
+        if not self.shall_train_network:
+            new_params = {**new_params, "net": params["net"]}
+        return new_params, opt_state, loss
 
     def _batch_producer(self):
         """Background GT generation: the single-core BVH queries run

@@ -1111,6 +1111,36 @@ class Testbed:
             frame = np.repeat(np.repeat(frame, reps_y, 0), reps_x, 1)[:height, :width]
         return frame
 
+    @property
+    def shall_train_encoding(self) -> bool:
+        """pyngp GUI toggle: freeze the input encoding's table params
+        while the MLPs keep training (python_api.cu shall_train_encoding)."""
+        return (getattr(self.task, "shall_train_encoding", True)
+                if self.task is not None
+                else getattr(self, "_pend_train_enc", True))
+
+    @shall_train_encoding.setter
+    def shall_train_encoding(self, v):
+        if self.task is None:
+            self._pend_train_enc = bool(v)
+            return
+        self.task.shall_train_encoding = bool(v)
+        self.task.rebuild_jit_programs()
+
+    @property
+    def shall_train_network(self) -> bool:
+        return (getattr(self.task, "shall_train_network", True)
+                if self.task is not None
+                else getattr(self, "_pend_train_net", True))
+
+    @shall_train_network.setter
+    def shall_train_network(self, v):
+        if self.task is None:
+            self._pend_train_net = bool(v)
+            return
+        self.task.shall_train_network = bool(v)
+        self.task.rebuild_jit_programs()
+
     def override_sdf_training_data(self, points, distances):
         """pyngp Testbed.override_sdf_training_data (python_api.cu:
         74-112, :551): train the SDF on a fixed external (points,

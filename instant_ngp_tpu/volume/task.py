@@ -113,6 +113,10 @@ class VolumeTask:
         self.training_step = 0
         self._key = jax.random.PRNGKey(seed ^ 0x0DD)
 
+        # pyngp shall_train_encoding / shall_train_network freeze
+        # toggles; changing them requires rebuild_jit_programs()
+        self.shall_train_encoding = True
+        self.shall_train_network = True
         self._jit_step = jax.jit(self._step)
         self._jit_render = jax.jit(self._render_rays)
         self._jit_render_gt = jax.jit(self._render_rays_gt)
@@ -282,8 +286,17 @@ class VolumeTask:
             return jnp.sum(per * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
         loss, grads = jax.value_and_grad(loss_value)(params)
-        params, opt_state = self.opt.update(grads, opt_state, params)
-        return params, opt_state, loss
+        new_params, opt_state = self.opt.update(grads, opt_state, params)
+        if not self.shall_train_encoding and "enc" in new_params:
+            new_params = {**new_params, "enc": params["enc"]}
+        if not self.shall_train_network:
+            new_params = {**new_params, "net": params["net"]}
+        return new_params, opt_state, loss
+
+    def rebuild_jit_programs(self):
+        """Re-trace the step after changing trace-time knobs
+        (shall_train_*)."""
+        self._jit_step = jax.jit(self._step)
 
     def train(self, n_steps: int = 1) -> float:
         loss = None

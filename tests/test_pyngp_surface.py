@@ -282,3 +282,42 @@ class TestCameraPathPlayback:
         tb.frame()
         np.testing.assert_allclose(tb.camera_matrix[:, 3], [9, 9, 9],
                                    atol=1e-5)
+
+
+class TestShallTrainToggles:
+    def test_nerf_freeze_encoding(self):
+        import jax
+
+        tb = _nerf_testbed()
+        tb.task.train(1)
+        enc0 = jax.tree.leaves(tb.task.state.params["pos_enc"])[0].copy()
+        net0 = jax.tree.leaves(tb.task.state.params["density_net"])[0].copy()
+        tb.shall_train_encoding = False
+        tb.frame()
+        enc1 = jax.tree.leaves(tb.task.state.params["pos_enc"])[0]
+        net1 = jax.tree.leaves(tb.task.state.params["density_net"])[0]
+        assert np.array_equal(np.asarray(enc0), np.asarray(enc1))
+        assert not np.array_equal(np.asarray(net0), np.asarray(net1))
+        tb.shall_train_encoding = True
+        tb.shall_train_network = False
+        net1 = jax.tree.leaves(tb.task.state.params["density_net"])[0].copy()
+        tb.frame()
+        net2 = jax.tree.leaves(tb.task.state.params["density_net"])[0]
+        assert np.array_equal(np.asarray(net1), np.asarray(net2))
+
+    def test_sdf_freeze_network(self):
+        import jax
+        from instant_ngp_tpu.sdf.task import SdfTask
+        from tests.test_round3_fixes import _cube_tris
+        from tests.test_tasks import tiny_config
+
+        task = SdfTask(_cube_tris(), tiny_config(loss="Mape"),
+                       batch_size=512)
+        task.train(1)
+        task.shall_train_network = False
+        task.rebuild_jit_programs()
+        net0 = jax.tree.leaves(task.params["net"])[0].copy()
+        task.train(2)
+        assert np.array_equal(np.asarray(net0),
+                              np.asarray(jax.tree.leaves(task.params["net"])[0]))
+        task.stop_producer()
