@@ -133,6 +133,10 @@ class NerfTask:
         # them needs rebuild_jit_programs()
         self.shall_train_encoding = True
         self.shall_train_network = True
+        # render-time latent source (pyngp python_api.cu:725-745):
+        # >=0 → that training view's latents; -1 → the explicit vector
+        self.rendering_extra_dims_from_training_view = 0
+        self._rendering_extra_dims = None
         # kept for pyngp API compat (testbed.h:807): the reference
         # accumulates camera gradients for N steps then applies a host
         # Adam step; here autodiff camera params update every step
@@ -1362,7 +1366,8 @@ class NerfTask:
         return ts, dts, valid, t_exit, n_valid
 
     def _render_round(self, params, grid_bits, o, d, t, T, rgb, depth, alive, tmax,
-                      cost=None, eps_t=EPS_T, bricks=None, compact: int | None = None):
+                      cost=None, eps_t=EPS_T, bricks=None,
+                      compact: int | None = None, extra_vec=None):
         """One render round: march a K-sample window and composite.
 
         The round loop runs on the host with an alive-count readback
@@ -1376,13 +1381,40 @@ class NerfTask:
         """
         ts, dts, valid, t_exit, n_valid = self._march_window(
             grid_bits, o, d, t, alive, tmax)
-        out = self._eval_window(params, o, d, ts, valid, bricks, compact)
+        out = self._eval_window(params, o, d, ts, valid, bricks, compact,
+                                extra_vec=extra_vec)
         return self._composite_window(
             out, ts, dts, valid, t, t_exit, T, rgb, depth, alive, tmax,
             cost, eps_t)
 
+    def _render_extra_vec(self):
+        """The (E,) latent vector renders should condition on (pyngp
+        set_rendering_extra_dims / rendering_extra_dims_from_training_view,
+        python_api.cu:725-745). Default: training view 0's latents."""
+        ne = getattr(self.model, "n_extra_dims", 0)
+        if not ne or "extra" not in self.state.cam:
+            return None
+        v = int(self.rendering_extra_dims_from_training_view)
+        if v >= 0:
+            v = min(v, self.dataset.n_images - 1)
+            return np.asarray(self.state.cam["extra"][v], np.float32)
+        if self._rendering_extra_dims is not None:
+            return np.asarray(self._rendering_extra_dims, np.float32)
+        return np.zeros((ne,), np.float32)
+
+    def set_rendering_extra_dims(self, vals):
+        """Render with an explicit latent vector (pyngp
+        set_rendering_extra_dims); switches off the training-view source."""
+        ne = getattr(self.model, "n_extra_dims", 0)
+        vals = np.asarray(vals, np.float32).reshape(-1)
+        if vals.shape[0] != ne:
+            raise ValueError(f"expected {ne} extra dims, got {vals.shape[0]}")
+        self._rendering_extra_dims = vals
+        self.rendering_extra_dims_from_training_view = -1
+
     def _eval_window(self, params, o, d, ts, valid, bricks=None,
-                     compact: int | None = None, fast: bool = False):
+                     compact: int | None = None, fast: bool = False,
+                     extra_vec=None):
         """Network evaluation over a marched (R, K) window, optionally
         on the compacted valid prefix. The (R, K) window is mostly
         invalid slots (dead rays, short in-window marches) and every
@@ -1401,23 +1433,30 @@ class NerfTask:
             maps = prefix_compaction_maps(jnp.sum(valid, -1), K, compact)
             pos_c = jnp.take(pos_w.reshape(M, 3), maps.src, axis=0)
             dir_c = jnp.take(dirs.reshape(M, 3), maps.src, axis=0)
-            out_c = self.model(params, pos_c, dir_c, bricks=bricks, fast=fast)
+            extra_c = (None if extra_vec is None else jnp.broadcast_to(
+                extra_vec, (compact, extra_vec.shape[-1])))
+            out_c = self.model(params, pos_c, dir_c, bricks=bricks,
+                               fast=fast, extra=extra_c)
             out = jnp.take(out_c, maps.dest, axis=0)
             out = jnp.where(maps.kept[:, None], out, 0.0).reshape(R, K, 4)
         else:
+            extra_m = (None if extra_vec is None else jnp.broadcast_to(
+                extra_vec, (M, extra_vec.shape[-1])))
             out = self.model(
                 params, pos_w.reshape(M, 3), dirs.reshape(M, 3),
-                bricks=bricks, fast=fast,
+                bricks=bricks, fast=fast, extra=extra_m,
             ).reshape(R, K, 4)
         return out
 
     def _eval_and_composite(self, params, o, d, ts, dts, valid, t, t_exit, T,
                             rgb, depth, alive, tmax, cost, eps_t, bricks,
-                            compact: int | None = None, fast: bool = False):
+                            compact: int | None = None, fast: bool = False,
+                            extra_vec=None):
         """Second half of a render round (one jit program): network on
         the compacted valid prefix + composite. `compact` is chosen by
         the host from the marched sample count — no overflow possible."""
-        out = self._eval_window(params, o, d, ts, valid, bricks, compact, fast)
+        out = self._eval_window(params, o, d, ts, valid, bricks, compact,
+                                fast, extra_vec)
         return self._composite_window(
             out, ts, dts, valid, t, t_exit, T, rgb, depth, alive, tmax,
             cost, eps_t)
@@ -1517,6 +1556,9 @@ class NerfTask:
         else:
             baked_dt = 1.0
 
+        ev = self._render_extra_vec()
+        extra_vec = None if ev is None else jnp.asarray(ev)
+
         rgb_out = np.zeros((R, 3), np.float32)
         T_out = np.ones((R,), np.float32)
         depth_out = np.zeros((R,), np.float32)
@@ -1602,7 +1644,7 @@ class NerfTask:
                 params, o_c, d_c, ts, dts, valid_s, t_c, t_exit, T_c, rgb_c,
                 depth_c, alive_c, tmax_c, cost_c,
                 jnp.float32(self.min_transmittance), bricks, compact=cap,
-                fast=fast,
+                fast=fast, extra_vec=extra_vec,
             )
 
         writeback(np.ones(len(idx), bool))
@@ -1622,6 +1664,8 @@ class NerfTask:
         rgb, depth = jnp.zeros((R, 3)), jnp.zeros((R,))
         alive = tmax > tmin
         cost = jnp.zeros((R,))
+        ev = self._render_extra_vec()
+        extra_vec = None if ev is None else jnp.asarray(ev)
         for _ in range(n_rounds):
             if baked_cache is not None:
                 t, T, rgb, depth, alive, cost = self._render_round_baked(
@@ -1631,6 +1675,7 @@ class NerfTask:
                 t, T, rgb, depth, alive, cost = self._render_round(
                     params, grid_bits, o, d, t, T, rgb, depth, alive, tmax,
                     cost, jnp.float32(self.min_transmittance),
+                    extra_vec=extra_vec,
                 )
         return rgb, 1.0 - T, depth
 
@@ -1667,9 +1712,11 @@ class NerfTask:
             rgb_act, dens_act = self.rgb_activation, self.density_activation
 
             @jax.jit
-            def _eval(params, bricks, pos_w, dirs):
+            def _eval(params, bricks, pos_w, dirs, extra_vec):
+                extra = (None if extra_vec is None else jnp.broadcast_to(
+                    extra_vec, (pos_w.shape[0], extra_vec.shape[-1])))
                 out = model(params, pos_w, warp_direction(dirs),
-                            bricks=bricks)
+                            bricks=bricks, extra=extra)
                 rgb = network_to_rgb(out[:, :3].astype(jnp.float32),
                                      rgb_act)
                 sigma = network_to_density(out[:, 3].astype(jnp.float32),
@@ -1711,7 +1758,10 @@ class NerfTask:
             pos_w = (world - aabb_min) / (aabb_max - aabb_min)
             dirs = d_w / jnp.maximum(
                 jnp.linalg.norm(d_w, axis=-1, keepdims=True), 1e-9)
-            outs.append(self._slice_eval_fn(params, bricks, pos_w, dirs))
+            ev = self._render_extra_vec()
+            outs.append(self._slice_eval_fn(
+                params, bricks, pos_w, dirs,
+                None if ev is None else jnp.asarray(ev)))
         rgba = np.asarray(jnp.concatenate(outs))[:n]
         bg = np.asarray(background, np.float32)
         rgb = rgba[:, :3] + (1.0 - rgba[:, 3:4]) * bg[:3] * bg[3]

@@ -283,6 +283,26 @@ class _NerfView:
         self._tb._nerf_sharpen = float(v)
 
     @property
+    def rendering_extra_dims_from_training_view(self):
+        t = self._tb.task
+        return (t.rendering_extra_dims_from_training_view
+                if t is not None else 0)
+
+    @rendering_extra_dims_from_training_view.setter
+    def rendering_extra_dims_from_training_view(self, v):
+        self._tb.task.rendering_extra_dims_from_training_view = int(v)
+
+    def set_rendering_extra_dims_from_training_view(self, i: int):
+        """pyngp: render with training view i's latent codes
+        (python_api.cu:735-745)."""
+        self._tb.task.rendering_extra_dims_from_training_view = int(i)
+
+    def set_rendering_extra_dims(self, vals):
+        """pyngp: render with an explicit latent vector
+        (python_api.cu:725-733)."""
+        self._tb.task.set_rendering_extra_dims(vals)
+
+    @property
     def cone_angle_constant(self):
         t = self._tb.task
         if t is not None:

@@ -321,3 +321,35 @@ class TestShallTrainToggles:
         assert np.array_equal(np.asarray(net0),
                               np.asarray(jax.tree.leaves(task.params["net"])[0]))
         task.stop_producer()
+
+
+class TestRenderingExtraDims:
+    def test_render_conditions_on_latents(self):
+        import __graft_entry__ as g
+        from instant_ngp_tpu.nerf.task import NerfTask
+
+        ds = g._synthetic_dataset(n_images=2, w=16, h=16)
+        ds.n_extra_learnable_dims = 4
+        task = NerfTask(ds, g._tiny_nerf_config(), n_rays_per_batch=64,
+                        max_samples_per_ray=4, n_march_iters=8)
+        task.train(3)  # latents move (they start random and train)
+        cam = ds.xforms_start[0]
+        f0 = np.asarray(task.render(8, 8, cam, fov=60.0))
+        task.rendering_extra_dims_from_training_view = 1
+        f1 = np.asarray(task.render(8, 8, cam, fov=60.0))
+        # different views' latents produce different renders
+        assert np.abs(f1 - f0).max() > 0
+        # explicit vector: view-0 latents reproduce the view-0 render
+        task.set_rendering_extra_dims(
+            np.asarray(task.state.cam["extra"][0]))
+        assert task.rendering_extra_dims_from_training_view == -1
+        f2 = np.asarray(task.render(8, 8, cam, fov=60.0))
+        np.testing.assert_allclose(f2, f0, atol=1e-5)
+        with pytest.raises(ValueError):
+            task.set_rendering_extra_dims(np.zeros(3))
+
+    def test_view_binding(self):
+        tb = _nerf_testbed()
+        assert tb.nerf.rendering_extra_dims_from_training_view == 0
+        tb.nerf.set_rendering_extra_dims_from_training_view(1)
+        assert tb.task.rendering_extra_dims_from_training_view == 1
