@@ -1915,13 +1915,17 @@ class NerfTask:
                     rgb = jnp.stack([heat, 1.0 - heat, jnp.zeros_like(heat)], -1)
                 elif render_mode == "encodingvis":
                     # encoding features at the expected hit point
-                    # (reference ERenderMode::EncodingVis)
+                    # (reference ERenderMode::EncodingVis, starting at
+                    # m_visualized_dimension)
                     hit = np.asarray(o) + np.asarray(depth)[:, None] * np.asarray(d)
                     pw = (jnp.asarray(hit) - jnp.asarray(self.aabb_min)) / (
                         jnp.asarray(self.aabb_max) - jnp.asarray(self.aabb_min))
                     feats = self.model.pos_encoding(
                         params.get("pos_enc"), jnp.clip(pw, 0.0, 1.0))
-                    rgb = jnp.clip(jnp.abs(feats[:, :3]) * 10.0, 0.0, 1.0)
+                    vd = int(np.clip(getattr(self, "visualized_dimension", 0),
+                                     0, max(feats.shape[-1] - 3, 0)))
+                    rgb = jnp.clip(
+                        jnp.abs(feats[:, vd:vd + 3]) * 10.0, 0.0, 1.0)
                 elif render_mode == "distortion":
                     # trained lens-distortion field magnitude at uv
                     # (reference ERenderMode::Distortion colors the

@@ -37,6 +37,52 @@ class Keyframe:
         m[:3, 3] = self.T
         return m
 
+    def same_pos_as(self, other: "Keyframe") -> bool:
+        """pyngp CameraKeyframe.same_pos_as: pose equality within the
+        reference's epsilon (camera_path.h SameAs semantics)."""
+        return bool(
+            np.allclose(self.T, other.T, atol=1e-4)
+            and (np.allclose(self.R, other.R, atol=1e-4)
+                 or np.allclose(self.R, -np.asarray(other.R), atol=1e-4))
+        )
+
+
+def editing_kernel(x: float, kernel: str = "gaussian") -> float:
+    """Keyframe-editing falloff kernels (camera_path.cu:191-201):
+    gaussian | quartic | hat | box | none."""
+    if kernel != "gaussian":
+        x = float(np.clip(x, -1.0, 1.0))
+    if kernel == "gaussian":
+        return float(np.exp(-2.0 * x * x))
+    if kernel == "quartic":
+        return float((1.0 - x * x) ** 2)
+    if kernel == "hat":
+        return 1.0 - abs(x)
+    if kernel == "box":
+        return 1.0 if -1.0 < x < 1.0 else 0.0
+    if kernel == "none":
+        return 1.0 if abs(x) < 1e-4 else 0.0
+    raise ValueError(f"unknown editing kernel {kernel!r}")
+
+
+@dataclasses.dataclass
+class RenderSettings:
+    """pyngp CameraPathRenderSettings (python_api.cu:919-925)."""
+
+    resolution: tuple = (1920, 1080)
+    spp: int = 8
+    fps: float = 60.0
+    duration_seconds: float = 5.0
+    shutter_fraction: float = 0.5
+    quality: int = 10
+
+    @property
+    def n_frames(self) -> int:
+        return int(round(self.duration_seconds * self.fps))
+
+    def frame_milliseconds(self) -> float:
+        return 1000.0 / max(self.fps, 1e-6)
+
 
 def quat_to_rotmat(q):
     w, x, y, z = q
@@ -91,6 +137,12 @@ class CameraPath:
     rendering: bool = False
     render_frame_idx: int = 0
     render_start_time: float = 0.0
+    render_frame_end_camera: Optional[np.ndarray] = None
+    # keyframe-editing brush (camera_path.cu editing_kernel)
+    editing_kernel_type: str = "none"
+    editing_kernel_radius: float = 1.0
+    render_settings: "RenderSettings" = dataclasses.field(
+        default_factory=lambda: RenderSettings())
 
     def add_camera(self, matrix: np.ndarray, fov: float = 50.0, **kw):
         self.keyframes.append(Keyframe.from_matrix(matrix, fov=fov, **kw))

@@ -209,6 +209,10 @@ class _NerfTrainingView:
     def optimize_extra_dims(self, v):
         self._fwd_set("optimize_extra_dims", bool(v), rebuild=True)
 
+    # reference binds the same field under both names
+    # (python_api.cu:789 optimize_per_image_latents → optimize_extra_dims)
+    optimize_per_image_latents = optimize_extra_dims
+
     @property
     def n_steps_between_cam_updates(self):
         return self._fwd_get("n_steps_between_cam_updates", 16)
@@ -545,6 +549,21 @@ class Testbed:
 
         self.camera_path = CameraPath()
         self.record_camera_path = False
+        # camera extrapolation for latency compensation (pyngp
+        # camera_prediction_mode / predict_view_camera; reference
+        # MatLogCameraPredictor, common_host.h:156-253). NONE disables
+        # the per-frame pose feed.
+        from .render.camera_predictor import CameraPredictionMode
+
+        self.camera_prediction_mode = CameraPredictionMode.NONE
+        self._cam_predictor = None
+        # reference m_parallax_shift (testbed.h): GUI camera pivot
+        # offset; stored for pyngp compat (headless ray gen has no
+        # look-around pivot)
+        self.parallax_shift = np.zeros(3, np.float32)
+        # EncodingVis controls (reference m_visualized_dimension/_layer)
+        self.visualized_dimension = 0
+        self.visualized_layer = 0
         self.root_dir = str(Path(__file__).resolve().parents[1])
         self._nerf_pending: dict = {}
         self.nerf = _NerfView(self)
@@ -679,6 +698,18 @@ class Testbed:
                 # display (testbed_sdf.cu:1636-1680); small sample count
                 # per tick like the reference's online estimate
                 self.sdf_iou = float(self.task.calculate_iou(1 << 14))
+        from .render.camera_predictor import CameraPredictionMode
+
+        if self.camera_prediction_mode != CameraPredictionMode.NONE:
+            from .render.camera_predictor import MatLogCameraPredictor
+
+            if self._cam_predictor is None:
+                m = self.camera_prediction_mode
+                self._cam_predictor = MatLogCameraPredictor(
+                    is_quadratic="quadratic" in m.value,
+                    is_se3="se3" in m.value)
+            self._cam_predictor.sample_camera(
+                self.camera_matrix, max(self.frame_ms.val(), 1.0) / 1000.0)
         cp = self.camera_path
         if self.record_camera_path:
             # record the live camera as keyframes (the reference's
@@ -781,6 +812,7 @@ class Testbed:
                 self.render_ms.update((time.perf_counter() - t0) * 1000.0)
                 return frame
             self.task.min_transmittance = self.nerf_min_transmittance
+            self.task.visualized_dimension = self.visualized_dimension
             bg = ((0.0, 0.0, 0.0, 0.0)
                   if self.render_transparency_as_checkerboard
                   else tuple(self.background_color))
@@ -1130,6 +1162,69 @@ class Testbed:
             reps_x = int(np.ceil(width / rw))
             frame = np.repeat(np.repeat(frame, reps_y, 0), reps_x, 1)[:height, :width]
         return frame
+
+    # pyngp camera/GT accessor aliases (python_api.cu:477-684) --------
+    @property
+    def render_groundtruth(self) -> bool:
+        """Reference binding name for m_render_ground_truth."""
+        return self.render_ground_truth
+
+    @render_groundtruth.setter
+    def render_groundtruth(self, v):
+        self.render_ground_truth = bool(v)
+
+    @property
+    def loop_animation(self) -> bool:
+        return self.camera_path.loop
+
+    @loop_animation.setter
+    def loop_animation(self, v):
+        self.camera_path.loop = bool(v)
+
+    def view_camera(self, view: int = 0) -> np.ndarray:
+        """Current camera matrix of a view (single-view headless)."""
+        return np.array(self.camera_matrix, copy=True)
+
+    def predict_view_camera(self, delta_t: float, view: int = 0) -> np.ndarray:
+        """Extrapolated camera pose delta_t seconds ahead (pyngp
+        predict_view_camera; needs camera_prediction_mode != NONE and
+        a few frame() ticks of pose history)."""
+        if self._cam_predictor is None:
+            return self.view_camera(view)
+        return np.asarray(self._cam_predictor.predict_camera(delta_t),
+                          np.float32)
+
+    @property
+    def fov_xy(self) -> np.ndarray:
+        """Per-axis field of view in degrees (pyngp fov_xy). The
+        headless renderer derives focal length from the fov_axis
+        component; both axes track the scalar fov unless set."""
+        fx = getattr(self, "_fov_x", None)
+        return np.asarray([fx if fx is not None else self.fov, self.fov],
+                          np.float32)
+
+    @fov_xy.setter
+    def fov_xy(self, v):
+        v = np.asarray(v, np.float32).reshape(2)
+        self._fov_x = float(v[0])
+        self.fov = float(v[self.fov_axis])
+
+    @property
+    def relative_focal_length(self) -> np.ndarray:
+        """focal length / resolution[fov_axis] (reference
+        m_relative_focal_length, testbed.cu:491-492)."""
+        rel = 0.5 / math.tan(0.5 * math.radians(self.fov))
+        fx = getattr(self, "_fov_x", None)
+        rel_x = (0.5 / math.tan(0.5 * math.radians(fx))
+                 if fx is not None else rel)
+        return np.asarray([rel_x, rel], np.float32)
+
+    @relative_focal_length.setter
+    def relative_focal_length(self, v):
+        v = np.asarray(v, np.float32).reshape(2)
+        self._fov_x = math.degrees(2 * math.atan(0.5 / max(v[0], 1e-9)))
+        self.fov = math.degrees(
+            2 * math.atan(0.5 / max(v[self.fov_axis], 1e-9)))
 
     @property
     def shall_train_encoding(self) -> bool:

@@ -353,3 +353,55 @@ class TestRenderingExtraDims:
         assert tb.nerf.rendering_extra_dims_from_training_view == 0
         tb.nerf.set_rendering_extra_dims_from_training_view(1)
         assert tb.task.rendering_extra_dims_from_training_view == 1
+
+
+class TestAccessorAliases:
+    def test_aliases_and_fov(self):
+        tb = _nerf_testbed()
+        tb.render_groundtruth = True
+        assert tb.render_ground_truth is True
+        tb.loop_animation = True
+        assert tb.camera_path.loop is True
+        np.testing.assert_allclose(tb.view_camera(), tb.camera_matrix)
+        tb.fov = 60.0
+        np.testing.assert_allclose(tb.fov_xy, [60, 60])
+        tb.fov_xy = (50.0, 40.0)
+        assert tb.fov == 40.0  # fov_axis = 1
+        rel = tb.relative_focal_length
+        import math
+        assert abs(rel[1] - 0.5 / math.tan(math.radians(20))) < 1e-5
+        tb.relative_focal_length = (1.0, 1.0)
+        assert abs(tb.fov - math.degrees(2 * math.atan(0.5))) < 1e-4
+        tr = tb.nerf.training
+        tr.optimize_per_image_latents = False
+        assert tr.optimize_extra_dims is False
+
+    def test_camera_prediction(self):
+        from instant_ngp_tpu.render.camera_predictor import (
+            CameraPredictionMode)
+
+        tb = _nerf_testbed()
+        tb.shall_train = False
+        tb.camera_prediction_mode = CameraPredictionMode.MAT_LOG_LINEAR
+        # feed a constant-velocity translation through frame()
+        for i in range(5):
+            tb.camera_matrix = tb.camera_matrix.copy()
+            tb.camera_matrix[0, 3] += 0.1
+            tb.frame()
+        pred = tb.predict_view_camera(1.0)
+        assert pred.shape == (3, 4)
+        # prediction continues along +x
+        assert pred[0, 3] > tb.camera_matrix[0, 3] + 1e-4
+
+    def test_visualized_dimension_changes_encodingvis(self):
+        from instant_ngp_tpu.common import RenderMode
+
+        tb = _nerf_testbed()
+        tb.task.train(1)
+        tb.render_mode = RenderMode("encoding_vis")
+        cam = tb.nerf_dataset.xforms_start[0]
+        f0 = tb.render(8, 8, camera_matrix=cam)
+        tb.visualized_dimension = 4
+        f1 = tb.render(8, 8, camera_matrix=cam)
+        assert np.isfinite(f0).all() and np.isfinite(f1).all()
+        assert np.abs(f1 - f0).max() > 0
