@@ -277,3 +277,15 @@ class BoundingBox:
         p = _np.asarray(p, _np.float32).reshape(3)
         d = _np.maximum(_np.maximum(self.min - p, p - self.max), 0.0)
         return float((d * d).sum())
+
+    def get_vertices(self):
+        """The 8 corner points (bounding_box.cuh get_vertices order)."""
+        import numpy as _np
+
+        lo, hi = self.min, self.max
+        return _np.asarray([
+            [lo[0], lo[1], lo[2]], [hi[0], lo[1], lo[2]],
+            [lo[0], hi[1], lo[2]], [hi[0], hi[1], lo[2]],
+            [lo[0], lo[1], hi[2]], [hi[0], lo[1], hi[2]],
+            [lo[0], hi[1], hi[2]], [hi[0], hi[1], hi[2]],
+        ], _np.float32)

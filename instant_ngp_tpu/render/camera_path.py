@@ -141,6 +141,11 @@ class CameraPath:
     # keyframe-editing brush (camera_path.cu editing_kernel)
     editing_kernel_type: str = "none"
     editing_kernel_radius: float = 1.0
+    # VR-latency camera prediction horizon fields (pyngp
+    # CameraPath binding :937-938; consumed by predict_view_camera
+    # callers choosing a delta_t)
+    camera_prediction_duration_seconds: float = 0.0
+    camera_prediction_dt: float = 0.0
     render_settings: "RenderSettings" = dataclasses.field(
         default_factory=lambda: RenderSettings())
 

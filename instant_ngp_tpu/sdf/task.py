@@ -67,6 +67,9 @@ class SdfTask:
         self.analytic_normals = True
         self.fd_normals_epsilon = 1e-3
         self.surface_offset_scale = 1.0
+        # ESDFGroundTruthMode (common.h:162-165): how ground_truth=True
+        # renders the mesh — BVH raytrace or sphere-traced mesh SDF
+        self.groundtruth_mode = "raytracedmesh"
         self.bvh = TriangleBvh(self.triangles)
         self.sdf_mode = sdf_mode
         self.batch_size = batch_size
@@ -338,6 +341,40 @@ class SdfTask:
         d = dirs @ cam[:, :3].T
         d /= np.linalg.norm(d, axis=-1, keepdims=True)
         o = np.broadcast_to(cam[:, 3], d.shape)
+
+        if ground_truth and self.groundtruth_mode == "spheretracedmesh":
+            # ESDFGroundTruthMode::SpheretracedMesh: sphere trace the
+            # BVH mesh-SDF instead of raytracing it (common.h:162-165)
+            o_f = np.ascontiguousarray(o.reshape(-1, 3), np.float32)
+            d_f = d.reshape(-1, 3)
+            t = np.zeros(len(o_f), np.float32)
+            alive = np.ones(len(o_f), bool)
+            for _ in range(n_trace_steps // 2):
+                if not alive.any():
+                    break
+                pos = o_f[alive] + t[alive, None] * d_f[alive]
+                dist = self.bvh.signed_distance(
+                    np.clip(pos, 0.0, 1.0), mode=self.sdf_mode)
+                t[alive] += dist
+                done = (np.abs(dist) < 5e-4) | (t[alive] > 2.0)
+                idx = np.nonzero(alive)[0]
+                alive[idx[done]] = False
+            hit = (t < 2.0) & (t > 0)
+            pos = o_f + t[:, None] * d_f
+            eps = 1e-3
+            taps = [self.bvh.signed_distance(
+                        np.clip(pos + eps * np.eye(3)[a], 0, 1),
+                        mode=self.sdf_mode)
+                    - self.bvh.signed_distance(
+                        np.clip(pos - eps * np.eye(3)[a], 0, 1),
+                        mode=self.sdf_mode) for a in range(3)]
+            n = np.stack(taps, -1) / (2 * eps)
+            n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+            rgb = self._shade(pos, n, d_f, np.asarray(light_dir))
+            rgb = np.where(hit[:, None], rgb, 0.0)
+            return np.concatenate(
+                [rgb, hit[:, None].astype(np.float32)], -1
+            ).reshape(height, width, 4)
 
         if ground_truth:
             t, tri = self.bvh.raytrace(o.reshape(-1, 3), d.reshape(-1, 3))

@@ -356,11 +356,13 @@ class _SdfView:
     the reference defaults."""
 
     _FWD = ("analytic_normals", "shadow_sharpness", "fd_normals_epsilon",
-            "zero_offset", "brdf", "floor_enable", "sun_color")
+            "zero_offset", "brdf", "floor_enable", "sun_color",
+            "groundtruth_mode")
     _DEFAULTS = {"analytic_normals": True, "shadow_sharpness": 16.0,
                  "fd_normals_epsilon": 1e-3, "zero_offset": 0.0,
                  "brdf": None, "floor_enable": False,
-                 "sun_color": (1.0, 1.0, 1.0)}
+                 "sun_color": (1.0, 1.0, 1.0),
+                 "groundtruth_mode": "raytracedmesh"}
 
     def __init__(self, tb):
         object.__setattr__(self, "_tb", tb)
@@ -564,6 +566,11 @@ class Testbed:
         # EncodingVis controls (reference m_visualized_dimension/_layer)
         self.visualized_dimension = 0
         self.visualized_layer = 0
+        # GT overlay content (reference m_ground_truth_render_mode:
+        # Shade shows the training image, Depth its depth channel)
+        from .common import GroundTruthRenderMode
+
+        self.groundtruth_render_mode = GroundTruthRenderMode.SHADE
         self.root_dir = str(Path(__file__).resolve().parents[1])
         self._nerf_pending: dict = {}
         self.nerf = _NerfView(self)
@@ -1083,9 +1090,22 @@ class Testbed:
         model's color space (reference GT render mode,
         testbed.cu:5074-5143). pyngp's assignable `render_ground_truth`
         FLAG routes Testbed.render() through this."""
-        from .common import linear_to_srgb, srgb_to_linear
+        from .common import GroundTruthRenderMode, linear_to_srgb, srgb_to_linear
 
         ds = self.nerf_dataset
+        if (self.groundtruth_render_mode == GroundTruthRenderMode.DEPTH
+                and ds.depths is not None):
+            # reference m_ground_truth_render_mode == Depth: show the
+            # dataset depth channel (testbed.cu GT overlay modes)
+            dmax = max(float(ds.depths.max()), 1e-6)
+            dep = (ds.depths[view_idx] / dmax).astype(np.float32)
+            frame = np.stack([dep, dep, dep, np.ones_like(dep)], -1)
+            h, w = dep.shape
+            ys = np.clip((np.arange(height) + 0.5) * h / height,
+                         0, h - 1).astype(int)
+            xs = np.clip((np.arange(width) + 0.5) * w / width,
+                         0, w - 1).astype(int)
+            return frame[ys][:, xs]
         img = ds.images[view_idx].astype(np.float32)
         if not ds.is_hdr:
             img = img / 255.0

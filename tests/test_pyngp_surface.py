@@ -405,3 +405,37 @@ class TestAccessorAliases:
         f1 = tb.render(8, 8, camera_matrix=cam)
         assert np.isfinite(f0).all() and np.isfinite(f1).all()
         assert np.abs(f1 - f0).max() > 0
+
+
+class TestGroundTruthModes:
+    def test_sdf_spheretraced_gt(self):
+        from instant_ngp_tpu.sdf.task import SdfTask
+        from tests.test_round3_fixes import _cube_tris
+        from tests.test_tasks import tiny_config
+
+        task = SdfTask(_cube_tris(), tiny_config(loss="Mape"),
+                       batch_size=256)
+        cam = np.hstack([np.eye(3), [[0.5], [0.5], [-0.8]]]).astype(
+            np.float32)
+        ray = task.render(8, 8, cam, fov=60.0, ground_truth=True)
+        task.groundtruth_mode = "spheretracedmesh"
+        sph = task.render(8, 8, cam, fov=60.0, ground_truth=True)
+        assert sph.shape == (8, 8, 4) and np.isfinite(sph).all()
+        # both GT modes agree on what is hit (the cube silhouette)
+        assert (np.abs(sph[..., 3] - ray[..., 3]) <= 1.0).all()
+        assert sph[..., 3].max() == 1.0  # something was hit
+        task.stop_producer()
+
+    def test_nerf_gt_depth_mode(self):
+        from instant_ngp_tpu.common import GroundTruthRenderMode
+
+        tb = _nerf_testbed()
+        tb.nerf_dataset.depths = np.full((2, 16, 16), 0.5, np.float32)
+        tb.render_groundtruth = True
+        tb.groundtruth_render_mode = GroundTruthRenderMode.DEPTH
+        tb.set_camera_to_training_view(0)
+        frame = tb.render(8, 8)
+        np.testing.assert_allclose(frame[..., 0], 1.0)  # depth/max = 1
+        tb.groundtruth_render_mode = GroundTruthRenderMode.SHADE
+        shade = tb.render(8, 8)
+        assert np.abs(shade - frame).max() > 0
