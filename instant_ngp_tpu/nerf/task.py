@@ -133,6 +133,9 @@ class NerfTask:
         # them needs rebuild_jit_programs()
         self.shall_train_encoding = True
         self.shall_train_network = True
+        # per-group camera regularization (reference testbed.h:788-789)
+        self.exposure_l2_reg = 0.0
+        self.intrinsic_l2_reg = 1e-4
         # render-time latent source (pyngp python_api.cu:725-745):
         # >=0 → that training view's latents; -1 → the explicit vector
         self.rendering_extra_dims_from_training_view = 0
@@ -945,6 +948,21 @@ class NerfTask:
                 # momentum drifting them)
                 new_cam = dict(new_cam)
                 new_cam["extra"] = state.cam["extra"]
+            # per-group camera L2 (reference exposure_l2_reg /
+            # intrinsic_l2_reg, testbed.h:788-789; its per-group host
+            # Adams each carry their own reg — here applied as
+            # decoupled weight decay after the shared update)
+            lr = self.cam_opt.spec.learning_rate
+            if self.exposure_l2_reg and "exposure" in new_cam:
+                new_cam = dict(new_cam)
+                new_cam["exposure"] = (new_cam["exposure"]
+                                       - lr * self.exposure_l2_reg
+                                       * state.cam["exposure"])
+            if self.intrinsic_l2_reg and "focal" in new_cam:
+                new_cam = dict(new_cam)
+                new_cam["focal"] = (new_cam["focal"]
+                                    - lr * self.intrinsic_l2_reg
+                                    * state.cam["focal"])
         else:
             (loss, (per_ray, depth_ray)), grads = jax.value_and_grad(
                 loss_value, has_aux=True

@@ -238,6 +238,22 @@ class _NerfTrainingView:
             t.set_camera_optimizer_hparams(extrinsic_learning_rate=float(v))
 
     @property
+    def exposure_l2_reg(self):
+        return self._fwd_get("exposure_l2_reg", 0.0)
+
+    @exposure_l2_reg.setter
+    def exposure_l2_reg(self, v):
+        self._fwd_set("exposure_l2_reg", float(v), rebuild=True)
+
+    @property
+    def intrinsic_l2_reg(self):
+        return self._fwd_get("intrinsic_l2_reg", 1e-4)
+
+    @intrinsic_l2_reg.setter
+    def intrinsic_l2_reg(self, v):
+        self._fwd_set("intrinsic_l2_reg", float(v), rebuild=True)
+
+    @property
     def extrinsic_l2_reg(self):
         t = self._task()
         if t is None:
