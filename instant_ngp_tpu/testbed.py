@@ -557,6 +557,9 @@ class Testbed:
         # jax.jit compiles every hot path; kept for pyngp API compat
         # with the reference's NVRTC megakernel toggle (m_jit_fusion)
         self.jit_fusion = True
+        # reference m_render (pyngp is_rendering): pauses frame renders
+        # in the interactive viewer while training continues
+        self.is_rendering = True
         # SDF: compute IoU vs GT every 16 frames into self.sdf_iou
         # (reference calculate_iou_online + its ImGui display)
         self.calculate_iou_online = False

@@ -248,6 +248,12 @@ class ViewerServer:
     def render_image(self, theta, phi, radius, w, h, fmt="JPEG") -> bytes:
         from PIL import Image
 
+        if not getattr(self.testbed, "is_rendering", True):
+            # rendering paused (pyngp is_rendering=False): reuse the
+            # last frame so training keeps all the device time
+            if getattr(self, "_last_frame", None) is not None:
+                return self._last_frame
+
         cam = orbit_matrix(theta, phi, radius)
         # latency compensation: feed observed poses to the camera
         # predictor and render where the camera WILL be when the async
@@ -271,7 +277,10 @@ class ViewerServer:
             im.save(buf, "JPEG", quality=90)
         else:
             im.save(buf, fmt)
-        return buf.getvalue()
+        out = buf.getvalue()
+        if fmt == "JPEG":
+            self._last_frame = out
+        return out
 
     # kept for API compatibility with earlier versions/tests
     def render_jpeg(self, theta, phi, radius, w, h) -> bytes:
