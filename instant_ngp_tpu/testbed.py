@@ -590,6 +590,10 @@ class Testbed:
         from .common import GroundTruthRenderMode
 
         self.groundtruth_render_mode = GroundTruthRenderMode.SHADE
+        # wireframe debug overlays (reference m_visualize_unit_cube and
+        # the per-view camera frusta of draw_visualizations)
+        self.visualize_unit_cube = False
+        self.visualize_cameras = False
         self.root_dir = str(Path(__file__).resolve().parents[1])
         self._nerf_pending: dict = {}
         self.nerf = _NerfView(self)
@@ -919,6 +923,24 @@ class Testbed:
                 lin = np.asarray(srgb_to_linear(np.clip(frame[..., :3], 0, 1)))
                 frame[..., :3] = np.asarray(
                     linear_to_srgb(np.clip(lin * 2.0 ** self.exposure, 0, 1)))
+        if self.visualize_unit_cube or self.visualize_cameras:
+            # wireframe debug overlays (reference draw_visualizations,
+            # testbed.cu:2126-2254), rasterized over the frame
+            from .render.overlays import draw_cameras, draw_wire_box
+
+            frame = np.array(frame, copy=True)
+            fl = 0.5 * height / math.tan(0.5 * math.radians(fov or self.fov))
+            if self.visualize_unit_cube:
+                lo, hi = np.zeros(3), np.ones(3)
+                if self.mode == TestbedMode.NERF and self.task is not None:
+                    lo = np.asarray(self.task.render_aabb_min)
+                    hi = np.asarray(self.task.render_aabb_max)
+                draw_wire_box(frame, lo, hi, cam, fl,
+                              tuple(self.screen_center))
+            if (self.visualize_cameras and self.mode == TestbedMode.NERF
+                    and getattr(self, "nerf_dataset", None) is not None):
+                draw_cameras(frame, self.nerf_dataset.xforms_start, cam, fl,
+                             tuple(self.screen_center))
         if self.render_transparency_as_checkerboard:
             # composite the (premultiplied, transparent-background)
             # color over a gray checkerboard (reference tonemap stage

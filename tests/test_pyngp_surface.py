@@ -439,3 +439,35 @@ class TestGroundTruthModes:
         tb.groundtruth_render_mode = GroundTruthRenderMode.SHADE
         shade = tb.render(8, 8)
         assert np.abs(shade - frame).max() > 0
+
+
+class TestOverlays:
+    def test_projection_and_segment(self):
+        from instant_ngp_tpu.render.overlays import (draw_segment,
+                                                     project_points)
+
+        cam = np.hstack([np.eye(3), [[0.0], [0.0], [0.0]]]).astype(
+            np.float32)
+        # point straight ahead lands at the principal point
+        px, front = project_points(np.array([[0, 0, 2.0]]), cam, 64, 64,
+                                   32.0)
+        assert front[0]
+        np.testing.assert_allclose(px[0], [32, 32], atol=1e-4)
+        # behind the camera is masked
+        _, behind = project_points(np.array([[0, 0, -1.0]]), cam, 64, 64,
+                                   32.0)
+        assert not behind[0]
+        frame = np.zeros((16, 16, 4), np.float32)
+        draw_segment(frame, (0, 8), (15, 8), (1.0, 0.0, 0.0))
+        assert (frame[8, :, 0] == 1.0).all() and frame[0].sum() == 0
+
+    def test_testbed_overlay_flags(self):
+        tb = _nerf_testbed()
+        tb.task.train(1)
+        cam = tb.nerf_dataset.xforms_start[0]
+        base = tb.render(32, 32, camera_matrix=cam)
+        tb.visualize_unit_cube = True
+        tb.visualize_cameras = True
+        over = tb.render(32, 32, camera_matrix=cam)
+        assert np.abs(over - base).max() > 0.1  # wireframes drawn
+        assert np.isfinite(over).all()
