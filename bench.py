@@ -463,8 +463,20 @@ def orchestrate():
             line = next((ln for ln in reversed(r.stdout.splitlines())
                          if ln.startswith("{")), None)
             out = json.loads(line) if line else {"error": "no output"}
-        except subprocess.TimeoutExpired:
-            out = {"error": f"phase timeout after {tmo}s"}
+        except subprocess.TimeoutExpired as e:
+            # the killed child may already have printed a provisional
+            # headline (bench_fox prints one right after the timed
+            # train loop) — salvage it rather than discard the phase
+            partial = e.stdout or b""
+            if isinstance(partial, bytes):
+                partial = partial.decode(errors="replace")
+            line = next((ln for ln in reversed(partial.splitlines())
+                         if ln.startswith("{")), None)
+            try:
+                out = json.loads(line) if line else {}
+            except json.JSONDecodeError:
+                out = {}
+            out.setdefault("error", f"phase timeout after {tmo}s")
         except Exception as e:  # noqa: BLE001
             out = {"error": str(e)[:120]}
         if phase == "fox":

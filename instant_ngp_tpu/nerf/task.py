@@ -284,10 +284,13 @@ class NerfTask:
             cam["envmap"] = jnp.zeros((eh_e, ew_e, 4))
         from ..ops.optimizers import Optimizer, OptimizerSpec
 
+        # l2 (extrinsic_l2_reg) applies to rot/pos ONLY — the reference
+        # regularizes per group (testbed.h:785-789); exposure/focal get
+        # their own decoupled decay in _train_step
         self.cam_opt = Optimizer(OptimizerSpec(
             learning_rate=1e-4, beta1=0.9, beta2=0.99, epsilon=1e-8, l2_reg=0.0,
             decay_start=0, decay_interval=2048, decay_base=0.33,
-        ))
+        ), matrix_mask={k: k in ("rot", "pos") for k in cam})
         self.error_map_res = _error_map_res(
             n_rays_per_batch, n_img, dataset.resolution
         )
@@ -1107,7 +1110,7 @@ class NerfTask:
                 / max(int(self.n_steps_between_cam_updates), 1))
         if extrinsic_l2_reg is not None:
             spec = dataclasses.replace(spec, l2_reg=float(extrinsic_l2_reg))
-        self.cam_opt = Optimizer(spec)
+        self.cam_opt = Optimizer(spec, matrix_mask=self.cam_opt.matrix_mask)
         self.rebuild_jit_programs()
 
     def set_training_image(self, frame_idx: int, img: np.ndarray,
@@ -1749,7 +1752,9 @@ class NerfTask:
         uv_np = np.stack([(xs.reshape(-1) + 0.5) / width,
                           (ys.reshape(-1) + 0.5) / height], -1)
         n = uv_np.shape[0]
-        chunk = 1 << 16
+        # pow2 chunk in [2^12, 2^16]: small previews don't pay the full
+        # 65536-position network eval; bounded set of compiled shapes
+        chunk = 1 << min(16, max(12, (max(n, 1) - 1).bit_length()))
         n_pad = (n + chunk - 1) // chunk * chunk
         uv_np = np.pad(uv_np.astype(np.float32), ((0, n_pad - n), (0, 0)))
         aabb_min = jnp.asarray(self.aabb_min, jnp.float32)

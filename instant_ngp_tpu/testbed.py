@@ -305,22 +305,33 @@ class _NerfView:
     @property
     def rendering_extra_dims_from_training_view(self):
         t = self._tb.task
-        return (t.rendering_extra_dims_from_training_view
-                if t is not None else 0)
+        if t is not None:
+            return t.rendering_extra_dims_from_training_view
+        return self._tb._nerf_pending.get(
+            "rendering_extra_dims_from_training_view", 0)
 
     @rendering_extra_dims_from_training_view.setter
     def rendering_extra_dims_from_training_view(self, v):
-        self._tb.task.rendering_extra_dims_from_training_view = int(v)
+        t = self._tb.task
+        if t is None:
+            self._tb._nerf_pending[
+                "rendering_extra_dims_from_training_view"] = int(v)
+        else:
+            t.rendering_extra_dims_from_training_view = int(v)
 
     def set_rendering_extra_dims_from_training_view(self, i: int):
         """pyngp: render with training view i's latent codes
         (python_api.cu:735-745)."""
-        self._tb.task.rendering_extra_dims_from_training_view = int(i)
+        self.rendering_extra_dims_from_training_view = int(i)
 
     def set_rendering_extra_dims(self, vals):
         """pyngp: render with an explicit latent vector
         (python_api.cu:725-733)."""
-        self._tb.task.set_rendering_extra_dims(vals)
+        t = self._tb.task
+        if t is None:
+            self._tb._nerf_pending["rendering_extra_dims"] = vals
+        else:
+            t.set_rendering_extra_dims(vals)
 
     @property
     def cone_angle_constant(self):
@@ -688,13 +699,17 @@ class Testbed:
             for k in ("density_grid_decay",
                       "sample_image_proportional_to_error",
                       "sample_focal_plane_proportional_to_error",
-                      "optimize_extra_dims", "n_steps_between_cam_updates"):
+                      "optimize_extra_dims", "n_steps_between_cam_updates",
+                      "exposure_l2_reg", "intrinsic_l2_reg",
+                      "rendering_extra_dims_from_training_view"):
                 if k in pend:
                     setattr(self.task, k, pend[k])
             if "extrinsic_learning_rate" in pend or "extrinsic_l2_reg" in pend:
                 self.task.set_camera_optimizer_hparams(
                     extrinsic_learning_rate=pend.get("extrinsic_learning_rate"),
                     extrinsic_l2_reg=pend.get("extrinsic_l2_reg"))
+            if "rendering_extra_dims" in pend:
+                self.task.set_rendering_extra_dims(pend["rendering_extra_dims"])
         elif mode == TestbedMode.SDF:
             from .sdf.task import SdfTask
 
@@ -705,6 +720,15 @@ class Testbed:
             self.task = VolumeTask(self.scene_path, self.network_config, seed=self.seed)
         else:
             raise ValueError(mode)
+        if hasattr(self.task, "shall_train_encoding"):
+            # freezes queued on the Testbed before the scene loaded
+            if getattr(self, "_pend_train_enc", None) is not None:
+                self.task.shall_train_encoding = self._pend_train_enc
+            if getattr(self, "_pend_train_net", None) is not None:
+                self.task.shall_train_network = self._pend_train_net
+            if (getattr(self, "_pend_train_enc", None) is not None
+                    or getattr(self, "_pend_train_net", None) is not None):
+                self.task.rebuild_jit_programs()
         self.training_step = 0
 
     # ------------------------------------------------------------------
@@ -730,17 +754,27 @@ class Testbed:
                 self.sdf_iou = float(self.task.calculate_iou(1 << 14))
         from .render.camera_predictor import CameraPredictionMode
 
-        if self.camera_prediction_mode != CameraPredictionMode.NONE:
+        mode = self.camera_prediction_mode
+        if mode == CameraPredictionMode.NONE:
+            self._cam_predictor = None
+        else:
             from .render.camera_predictor import MatLogCameraPredictor
 
-            if self._cam_predictor is None:
-                m = self.camera_prediction_mode
+            if (self._cam_predictor is None
+                    or getattr(self, "_cam_predictor_mode", None) != mode):
+                # (re)build when the mode changes mid-run
                 self._cam_predictor = MatLogCameraPredictor(
-                    is_quadratic="quadratic" in m.value,
-                    is_se3="se3" in m.value)
+                    is_quadratic="quadratic" in mode.value,
+                    is_se3="se3" in mode.value)
+                self._cam_predictor_mode = mode
             self._cam_predictor.sample_camera(
                 self.camera_matrix, max(self.frame_ms.val(), 1.0) / 1000.0)
         cp = self.camera_path
+        # wall time since the PREVIOUS frame() tick — frame-internal
+        # elapsed time undercounts badly when training is off
+        now = time.perf_counter()
+        dt = min(now - getattr(self, "_last_frame_t", now), 1.0)
+        self._last_frame_t = now
         if self.record_camera_path:
             # record the live camera as keyframes (the reference's
             # "record" GUI toggle, testbed.cu camera-path panel)
@@ -750,7 +784,6 @@ class Testbed:
         elif cp.update_cam_from_path and not cp.empty():
             # playback: advance play_time and drive the view camera
             # (CameraPath.update_cam_from_path + auto_play_speed)
-            dt = (time.perf_counter() - t0)
             cp.play_time += cp.auto_play_speed * dt
             cp.play_time = (cp.play_time % 1.0 if cp.loop
                             else min(cp.play_time, 1.0))

@@ -250,8 +250,10 @@ class ViewerServer:
 
         if not getattr(self.testbed, "is_rendering", True):
             # rendering paused (pyngp is_rendering=False): reuse the
-            # last frame so training keeps all the device time
-            if getattr(self, "_last_frame", None) is not None:
+            # last JPEG so training keeps all the device time;
+            # screenshots (PNG) still render fresh — they are explicit
+            # one-off requests and must match their Content-Type
+            if fmt == "JPEG" and getattr(self, "_last_frame", None) is not None:
                 return self._last_frame
 
         cam = orbit_matrix(theta, phi, radius)

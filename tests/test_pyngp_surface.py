@@ -471,3 +471,64 @@ class TestOverlays:
         over = tb.render(32, 32, camera_matrix=cam)
         assert np.abs(over - base).max() > 0.1  # wireframes drawn
         assert np.isfinite(over).all()
+
+
+class TestReviewFixes:
+    """Regressions from the round-3 code review of the surface sweep."""
+
+    def test_preload_pending_freeze_and_l2(self, tmp_path):
+        import json as _json
+
+        import imageio.v2 as imageio
+
+        # build a tiny scene on disk so load_training_data runs
+        rng = np.random.default_rng(0)
+        frames = []
+        for i in range(2):
+            imageio.imwrite(tmp_path / f"im{i}.png",
+                            rng.integers(0, 255, (8, 8, 4), dtype=np.uint8))
+            frames.append({"file_path": f"im{i}.png",
+                           "transform_matrix": np.eye(4).tolist()})
+        (tmp_path / "transforms.json").write_text(_json.dumps(
+            {"camera_angle_x": 0.9, "aabb_scale": 1, "frames": frames}))
+        import __graft_entry__ as g
+
+        tb = Testbed()
+        tb.network_config = g._tiny_nerf_config()
+        tb.shall_train_encoding = False  # queued pre-load
+        tb.nerf.training.exposure_l2_reg = 0.02
+        tb.nerf.rendering_extra_dims_from_training_view = 1
+        tb.load_training_data(str(tmp_path))
+        assert tb.task.shall_train_encoding is False
+        assert tb.task.exposure_l2_reg == 0.02
+        assert tb.task.rendering_extra_dims_from_training_view == 1
+
+    def test_extrinsic_l2_mask_spares_other_groups(self):
+        tb = _nerf_testbed()
+        mask = tb.task.cam_opt.matrix_mask
+        assert mask["rot"] and mask["pos"]
+        assert not mask["exposure"] and not mask["focal"]
+        tb.nerf.training.extrinsic_l2_reg = 0.01
+        mask = tb.task.cam_opt.matrix_mask  # preserved across rebuild
+        assert mask["rot"] and not mask["exposure"]
+
+    def test_prediction_mode_change_rebuilds(self):
+        from instant_ngp_tpu.render.camera_predictor import (
+            CameraPredictionMode)
+
+        tb = _nerf_testbed()
+        tb.shall_train = False
+        tb.camera_prediction_mode = CameraPredictionMode.MAT_LOG_LINEAR
+        tb.frame()
+        p_lin = tb._cam_predictor
+        assert p_lin is not None and not p_lin.is_quadratic
+        tb.camera_prediction_mode = CameraPredictionMode.MAT_LOG_QUADRATIC
+        tb.frame()
+        assert tb._cam_predictor is not p_lin
+        assert tb._cam_predictor.is_quadratic
+        tb.camera_prediction_mode = CameraPredictionMode.NONE
+        tb.frame()
+        assert tb._cam_predictor is None
+        # predict falls back to the current camera
+        np.testing.assert_allclose(tb.predict_view_camera(1.0),
+                                   tb.camera_matrix)
