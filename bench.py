@@ -201,6 +201,7 @@ def bench_fox():
                 return round(256 * 256 / (time.time() - t0) / 1e6, 4)
 
             extras["render_mrays_per_s"] = {"exact": rays_per_s("exact")}
+            print(json.dumps(_result(extras)), flush=True)
     except Exception as e:  # noqa: BLE001
         extras["render_mrays_per_s"] = {"error": str(e)[:120]}
         return _result(extras)  # a hung device won't recover below
@@ -224,6 +225,7 @@ def bench_fox():
             task.render(1920, 1080, ds.xforms_start[v], **kw)
             extras["render_mrays_per_s"]["baked_1080p"] = round(
                 1920 * 1080 / (time.time() - t0) / 1e6, 4)
+            print(json.dumps(_result(extras)), flush=True)
     except Exception as e:  # noqa: BLE001
         extras["render_mrays_per_s"]["baked_error"] = str(e)[:120]
     try:
@@ -424,36 +426,71 @@ def orchestrate():
     never touches the device."""
     import subprocess
 
-    def wait_device(deadline_s=900):
+    t_start = time.time()
+    # hard wall-clock budget for the WHOLE bench: the driver kills a
+    # run that overstays (round-3's was discarded at rc=124) — stop
+    # STARTING phases well before that, and print the merged headline
+    # after every phase so a kill can never lose captured results
+    total_budget = float(os.environ.get("BENCH_TOTAL_S", 2700))
+
+    def wait_device(attempts=3):
         """Probe the TPU with a throwaway subprocess until it answers.
         The worker reliably crashes on the FIRST dispatch of a fresh
         process after a heavy process exits — a probe absorbs that
-        crash (and waits out tunnel outages) so the next real phase
-        starts on a healthy worker."""
+        crash so the next real phase starts on a healthy worker.
+        CAPPED: an unresponsive tunnel must not eat the driver budget
+        (round 3 died in exactly this loop) — give up after a few
+        tries and let the caller stop cleanly."""
         probe = "import jax, jax.numpy as jnp; print(float(jnp.ones(8).sum()))"
-        t0 = time.time()
-        while time.time() - t0 < deadline_s:
+        for i in range(attempts):
             try:
+                # a fresh process absorbing a worker crash can take
+                # >4 min to its first dispatch (measured 256 s) — a
+                # shorter timeout fails healthy-but-restarting workers
                 if subprocess.run([sys.executable, "-c", probe],
-                                  timeout=120,
+                                  timeout=300,
                                   capture_output=True).returncode == 0:
-                    return
+                    return True
             except subprocess.TimeoutExpired:
                 pass
-            print("# device probe failed; waiting 30s",
+            print(f"# device probe failed ({i + 1}/{attempts}); waiting 30s",
                   file=sys.stderr, flush=True)
             time.sleep(30)
+        return False
 
     merged = None
     extras = {}
+
+    def emit():
+        """Print the best-known merged headline NOW. The driver takes
+        the last parseable line, so each emission strictly supersedes
+        the previous one — later phases are purely additive."""
+        m = merged
+        if m is None or "metric" not in m:
+            m = {"metric": "bench_failed", "value": 0.0, "unit": "none",
+                 "vs_baseline": 0.0,
+                 "error": (merged or {}).get("error", "fox phase failed")}
+        m = dict(m)
+        m["extra"] = {**m.get("extra", {}), **extras}
+        print(json.dumps(m), flush=True)
+
     first = True
     for phase, (_, tmo) in PHASES.items():
         if phase != "fox" and not Path(FOX).exists():
             continue  # image fallback mode: single phase only
-        if not first:
-            wait_device()
+        elapsed = time.time() - t_start
+        if not first and elapsed + 120 > total_budget:
+            print(f"# bench budget spent ({elapsed:.0f}s); skipping {phase}+",
+                  file=sys.stderr, flush=True)
+            break
+        if not first and not wait_device():
+            print("# device unresponsive; stopping with captured results",
+                  file=sys.stderr, flush=True)
+            break
         first = False
         env = dict(os.environ, BENCH_PHASE=phase, BENCH_RETRIED="0")
+        # never let one phase overrun the global budget
+        tmo = int(min(tmo, max(120, total_budget - (time.time() - t_start))))
         try:
             # stdout captured for the JSON line; stderr inherited so
             # phase progress streams live
@@ -466,7 +503,7 @@ def orchestrate():
         except subprocess.TimeoutExpired as e:
             # the killed child may already have printed a provisional
             # headline (bench_fox prints one right after the timed
-            # train loop) — salvage it rather than discard the phase
+            # train loop and after each extra) — salvage the last one
             partial = e.stdout or b""
             if isinstance(partial, bytes):
                 partial = partial.decode(errors="replace")
@@ -483,12 +520,8 @@ def orchestrate():
             merged = out
         else:
             extras[phase] = out
-    if merged is None or "metric" not in merged:
-        merged = {"metric": "bench_failed", "value": 0.0, "unit": "none",
-                  "vs_baseline": 0.0,
-                  "error": (merged or {}).get("error", "fox phase failed")}
-    merged.setdefault("extra", {}).update(extras)
-    print(json.dumps(merged))
+        emit()
+    emit()
 
 
 def main():

@@ -409,6 +409,18 @@ class NerfTask:
         if dataset.render_aabb is not None:
             self.render_aabb_min = np.asarray(dataset.render_aabb[0], np.float32)
             self.render_aabb_max = np.asarray(dataset.render_aabb[1], np.float32)
+        # rotated crop box: a point p is cropped-in iff
+        # render_aabb.contains(render_aabb_to_local @ p) (reference
+        # m_render_aabb_to_local, testbed.h:709; ray clip
+        # testbed_nerf.cu:1472). Identity = axis-aligned fast path.
+        self.render_aabb_to_local = np.eye(3, dtype=np.float32)
+        ds_rot = getattr(dataset, "render_aabb_to_local", None)
+        if ds_rot is not None:
+            self.render_aabb_to_local = np.asarray(ds_rot, np.float32)
+        # depth-supervision loss shape (reference depth_loss_type,
+        # testbed.h:796, default L1); change via pyngp setter which
+        # rebuilds the jit programs
+        self.depth_loss_type = "L1"
         self.render_near_distance = 0.0
         self.aperture_size = 0.0
         self.focus_z = 1.0
@@ -443,13 +455,28 @@ class NerfTask:
         d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
         # render-loop init (reference init_rays_from_camera): clip to
         # the render crop box + near plane
-        aabb_min = jnp.maximum(jnp.asarray(self.render_aabb_min),
-                               jnp.asarray(self.aabb_min))
-        aabb_max = jnp.minimum(jnp.asarray(self.render_aabb_max),
-                               jnp.asarray(self.aabb_max))
-        tmin, tmax = _aabb_entry(o, d, aabb_min, aabb_max)
+        tmin, tmax = self._crop_tminmax(o, d)
         tmin = jnp.maximum(tmin, self.render_near_distance)
         return o, d, tmin, tmax
+
+    def _crop_tminmax(self, o, d):
+        """Ray interval inside scene AABB ∩ (possibly rotated) render
+        crop box. The crop box is axis-aligned in the frame reached by
+        render_aabb_to_local (reference render_aabb_to_local clip,
+        testbed_nerf.cu:1472); both boxes are convex so the in-both
+        interval is the intersection of the two entry/exit intervals."""
+        rot = np.asarray(self.render_aabb_to_local, np.float32)
+        tmin, tmax = _aabb_entry(o, d, jnp.asarray(self.aabb_min),
+                                 jnp.asarray(self.aabb_max))
+        crop_min = jnp.asarray(self.render_aabb_min)
+        crop_max = jnp.asarray(self.render_aabb_max)
+        if not np.allclose(rot, np.eye(3)):
+            rot_j = jnp.asarray(rot)
+            o_l, d_l = o @ rot_j.T, d @ rot_j.T
+        else:
+            o_l, d_l = o, d
+        t2min, t2max = _aabb_entry(o_l, d_l, crop_min, crop_max)
+        return jnp.maximum(tmin, t2min), jnp.minimum(tmax, t2max)
 
     def _gather_ray_state(self, arrs, take):
         """Jitted alive-ray compaction gather (device-side; the numpy
@@ -919,10 +946,12 @@ class NerfTask:
                 px = jnp.clip((uv[:, 0] * w_).astype(jnp.int32), 0, w_ - 1)
                 py = jnp.clip((uv[:, 1] * h_).astype(jnp.int32), 0, h_ - 1)
                 target_depth = data["depths"][img_idx, py, px]
-                # L1 depth loss on rays with valid depth (reference uses
-                # depth_loss_type on target_depth > 0); applies in every
-                # train mode
-                dloss = jnp.abs(depth_ray - target_depth) * (target_depth > 0)
+                # depth loss on rays with valid depth (reference
+                # depth_loss_type, testbed.h:796, default L1); applies
+                # in every train mode
+                dl = loss_fn(loss_type_from_string(self.depth_loss_type))
+                dloss = dl(target_depth[:, None],
+                           depth_ray[:, None])[:, 0] * (target_depth > 0)
                 # depth term joins the OBJECTIVE only: the reference's
                 # error-map deposit and loss readout are photometric
                 # (testbed_nerf.cu:1041-1070 deposits loss_scalar from
@@ -1562,9 +1591,7 @@ class NerfTask:
             tmin, tmax = tminmax
         else:
             # rays are clipped to the render crop box + near plane
-            aabb_min = jnp.asarray(np.maximum(self.render_aabb_min, self.aabb_min))
-            aabb_max = jnp.asarray(np.minimum(self.render_aabb_max, self.aabb_max))
-            tmin, tmax = _aabb_entry(o, d, aabb_min, aabb_max)
+            tmin, tmax = self._crop_tminmax(o, d)
             tmin = jnp.maximum(tmin, self.render_near_distance)
 
         if baked_cache is not None:

@@ -184,7 +184,11 @@ class TestCompileCacheConfigured:
         import _jaxcache  # noqa: F401
 
         importlib.reload(_jaxcache)
-        assert jax.config.jax_compilation_cache_dir == "/root/repo/.jax_cache"
+        # CPU runs get a per-CPU-model subdirectory (AOT SIGILL guard);
+        # accelerator runs share the base dir — assert the prefix, not
+        # the exact path, so the test is env-independent
+        assert str(jax.config.jax_compilation_cache_dir).startswith(
+            "/root/repo/.jax_cache")
         assert jax.config.jax_persistent_cache_min_compile_time_secs == 1.0
 
 
