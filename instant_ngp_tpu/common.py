@@ -117,6 +117,41 @@ class LensMode(enum.Enum):
     ORTHOGRAPHIC = "orthographic"
 
 
+class Lens:
+    """pyngp ngp.Lens (python_api.cu:428-433): a lens mode + parameter
+    vector pair. Mode accepts LensMode enums or their string values."""
+
+    def __init__(self, mode="perspective", params=None):
+        import numpy as _np
+
+        self.mode = LensMode(getattr(mode, "value", mode))
+        self.params = _np.zeros(7, _np.float32)
+        if params is not None:
+            p = _np.asarray(params, _np.float32).reshape(-1)
+            self.params[: len(p)] = p
+
+    def __repr__(self):
+        return f"Lens(mode={self.mode.value}, params={self.params.tolist()})"
+
+
+class SDFGroundTruthMode(enum.Enum):
+    """Reference ESDFGroundTruthMode (python_api.cu:364-366)."""
+
+    RAYTRACED_MESH = "raytracedmesh"
+    SPHERETRACED_MESH = "spheretracedmesh"
+
+
+class EditingKernel(enum.Enum):
+    """Reference EEditingKernel (camera-path keyframe brush,
+    python_api.cu enum; kernels in camera_path.cu:80-115)."""
+
+    NONE = "none"
+    GAUSSIAN = "gaussian"
+    QUARTIC = "quartic"
+    HAT = "hat"
+    BOX = "box"
+
+
 class TrainMode(enum.Enum):
     NERF = "nerf"
     RFL = "rfl"
@@ -267,6 +302,38 @@ class BoundingBox:
 
         p = _np.asarray(p, _np.float32).reshape(3)
         return (p - self.min) / _np.maximum(self.diag(), 1e-12)
+
+    def ray_intersect(self, pos, dir):  # noqa: A002
+        """Slab-method ray/box interval (reference
+        BoundingBox::ray_intersect, bounding_box.cuh:105-125; pyngp
+        python_api.cu:423). Returns (tmin, tmax); no hit ⇔ tmin > tmax.
+        Zero direction components follow IEEE inf semantics like the
+        CUDA original."""
+        import numpy as _np
+
+        pos = _np.asarray(pos, _np.float32).reshape(3)
+        dir = _np.asarray(dir, _np.float32).reshape(3)  # noqa: A001
+        zero = dir == 0.0
+        with _np.errstate(divide="ignore", invalid="ignore"):
+            t1 = (self.min - pos) / dir
+            t2 = (self.max - pos) / dir
+        lo = _np.minimum(t1, t2)
+        hi = _np.maximum(t1, t2)
+        # axis-parallel rays: inside the slab → unbounded, else no hit
+        inside = (pos >= self.min) & (pos <= self.max)
+        lo = _np.where(zero, _np.where(inside, -_np.inf, _np.inf), lo)
+        hi = _np.where(zero, _np.where(inside, _np.inf, -_np.inf), hi)
+        return float(lo.max()), float(hi.min())
+
+    def signed_distance(self, p) -> float:
+        """Negative inside, positive outside (reference
+        BoundingBox::signed_distance, bounding_box.cuh:127-131)."""
+        import numpy as _np
+
+        p = _np.asarray(p, _np.float32).reshape(3)
+        q = _np.abs(p - self.center) - 0.5 * self.diag()
+        return float(_np.linalg.norm(_np.maximum(q, 0.0))
+                     + min(float(q.max()), 0.0))
 
     def distance(self, p) -> float:
         return float(self.distance_sq(p) ** 0.5)

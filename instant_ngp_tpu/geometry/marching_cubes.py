@@ -445,3 +445,82 @@ def extract_mesh(task, res: int = 256, iso: float | None = None, with_colors: bo
     elif with_colors and len(verts):
         colors = np.full((len(verts), 3), 0.7, np.float32)
     return verts, faces, colors
+
+
+def get_marching_cubes_res(res_1d: int, aabb_min, aabb_max) -> np.ndarray:
+    """Per-axis grid resolution scaled by the box aspect, padded to a
+    multiple of 16 (reference get_marching_cubes_res,
+    marching_cubes.cu:40-48)."""
+    lo = np.asarray(aabb_min, np.float32)
+    hi = np.asarray(aabb_max, np.float32)
+    diag = hi - lo
+    scale = res_1d / max(float(diag.max()), 1e-9)
+    res3d = (diag * scale + 0.5).astype(np.int64)
+    return ((np.maximum(res3d, 1) + 15) // 16) * 16
+
+
+def get_density_on_grid(task, res3d, aabb_min, aabb_max,
+                        to_local=None) -> np.ndarray:
+    """Sample the task's scalar field on an (rx, ry, rz) grid spanning
+    the (possibly rotated) box: NeRF → activated density (reference
+    get_density_on_grid, testbed_nerf.cu:3502-3557), SDF → signed
+    distance. Grid coordinates live in the box's local frame; world
+    positions are Rᵀ·local (contains(R·p) convention)."""
+    import jax.numpy as jnp
+
+    from ..nerf.task import NerfTask
+
+    rx, ry, rz = (int(r) for r in res3d)
+    lo = np.asarray(aabb_min, np.float32)
+    hi = np.asarray(aabb_max, np.float32)
+    xs = lo[0] + (np.arange(rx) + 0.5) / rx * (hi[0] - lo[0])
+    ys = lo[1] + (np.arange(ry) + 0.5) / ry * (hi[1] - lo[1])
+    zs = lo[2] + (np.arange(rz) + 0.5) / rz * (hi[2] - lo[2])
+    gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
+    pts = np.stack([gx, gy, gz], -1).reshape(-1, 3).astype(np.float32)
+    if to_local is not None and not np.allclose(to_local, np.eye(3)):
+        pts = pts @ np.asarray(to_local, np.float32)  # = (Rᵀ·pᵀ)ᵀ
+
+    out = np.empty(len(pts), np.float32)
+    chunk = 1 << 18
+    if isinstance(task, NerfTask):
+        params = task.opt.inference_params(task.state.opt_state,
+                                           task.state.params)
+        amin = np.asarray(task.aabb_min)
+        asize = np.asarray(task.aabb_max) - amin
+        for i in range(0, len(pts), chunk):
+            pw = (pts[i:i + chunk] - amin) / asize
+            d = task.model.density(params, jnp.asarray(pw))
+            out[i:i + chunk] = np.asarray(d[:, 0], np.float32)
+        out = np.exp(np.clip(out, -15.0, 15.0))
+    else:  # SDF task exposes a direct distance query
+        for i in range(0, len(pts), chunk):
+            out[i:i + chunk] = np.asarray(task.sdf(pts[i:i + chunk]),
+                                          np.float32).reshape(-1)
+    return out.reshape(rx, ry, rz)
+
+
+def save_density_grid_to_png(density: np.ndarray, path: str,
+                             thresh: float = 2.5,
+                             density_range: float = 4.0,
+                             flip_y_and_z_axes: bool = False) -> None:
+    """Tile the z-slices of an (rx, ry, rz) field into one grayscale
+    PNG sheet, mapping [thresh−range, thresh+range] → [0, 255]
+    (reference save_density_grid_to_png, marching_cubes.cu:957-1030:
+    ~sqrt(rz) slices per row, y flipped per-slice)."""
+    import imageio.v2 as imageio
+
+    d = np.asarray(density, np.float32)
+    if flip_y_and_z_axes:
+        d = np.transpose(d, (0, 2, 1))
+    rx, ry, rz = d.shape
+    scale = 128.0 / density_range
+    ndown = max(1, int(np.sqrt(rz)))
+    nacross = (rz + ndown - 1) // ndown
+    sheet = np.zeros((ry * ndown, rx * nacross), np.uint8)
+    vals = np.clip((d - thresh) * scale + 128.5, 0.0, 255.0).astype(np.uint8)
+    for z in range(rz):
+        row, col = z // nacross, z % nacross
+        tile = vals[:, ::-1, z].T  # (ry, rx), y flipped like the reference
+        sheet[row * ry:(row + 1) * ry, col * rx:(col + 1) * rx] = tile
+    imageio.imwrite(str(path), sheet)

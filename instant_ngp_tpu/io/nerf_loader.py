@@ -56,6 +56,9 @@ class NerfDataset:
     from_mitsuba: bool = False
     up: np.ndarray = dataclasses.field(default_factory=lambda: np.array([0.0, 0.0, 1.0]))
     render_aabb: Optional[np.ndarray] = None  # (2, 3) min/max in NGP space
+    # rotation into the crop box's local frame (reference
+    # NerfDataset::render_aabb_to_local, nerf_loader.h); None = identity
+    render_aabb_to_local: Optional[np.ndarray] = None  # (3, 3)
     envmap_path: Optional[str] = None
     paths: tuple = ()
     # (N, 2) per-image (w, h) when images have differing sizes (each

@@ -483,12 +483,60 @@ class NerfTask:
         round-trip cost ~10 eager transfers per compaction)."""
         return tuple(jnp.take(a, take, axis=0) for a in arrs)
 
+    def _jit_fingerprint(self):
+        """Hashable digest of every attribute the jitted programs bake
+        in at trace time. Two real bugs in two rounds came from
+        mutating one of these without rebuild_jit_programs() (the
+        round-3 bake dt_scale capture; see ROUND3_NOTES "Gotchas") —
+        train()/render() now compare this against the fingerprint
+        captured at the last rebuild and RETRACE automatically on
+        mismatch, making that bug class structurally impossible."""
+        return (
+            repr(self.march_cfg),
+            repr(self.model),  # covers the corner-anneal model swap
+            self.compact_samples,
+            str(self.rgb_activation), str(self.density_activation),
+            self.train_mode,
+            getattr(self, "_loss_type_name", None),
+            self.use_error_map,
+            self.sample_image_proportional_to_error,
+            self.sample_focal_plane_proportional_to_error,
+            self.optimize_extrinsics, self.optimize_exposure,
+            self.optimize_focal_length, self.optimize_distortion,
+            self.optimize_extra_dims,
+            self.shall_train_encoding, self.shall_train_network,
+            self.random_bg_color, self.snap_to_pixel_centers,
+            self.max_level_rand_training,
+            float(self.depth_supervision_lambda),
+            getattr(self, "depth_loss_type", "L1"),
+            float(self.training_near_distance),
+            float(self.density_reg_scale),
+            self.render_samples_per_window, self.baked_samples_per_window,
+            self.render_march_iters,
+            self.aabb_min.tobytes(), self.aabb_max.tobytes(),
+            np.asarray(self.render_aabb_min, np.float32).tobytes(),
+            np.asarray(self.render_aabb_max, np.float32).tobytes(),
+            np.asarray(self.render_aabb_to_local, np.float32).tobytes(),
+            float(self.render_near_distance),
+            str(self.dataset.lens_mode),
+            np.asarray(self.dataset.lens_params, np.float32).tobytes(),
+            id(self.mesh),
+        )
+
+    def _ensure_fresh_jit(self):
+        """Retrace if any trace-time attribute changed since the last
+        rebuild (costs a short tuple compare per call)."""
+        if self._jit_fingerprint() != self._jit_built_for:
+            self.rebuild_jit_programs()
+
     def rebuild_jit_programs(self):
         """(Re)create the jitted program wrappers. jax.jit caches
         compiled programs keyed on ARGUMENTS — mutating self.model /
         self.march_cfg after the first call is silently ignored by the
-        existing wrappers, so every config mutation must call this
-        (the corner anneal and pyngp setters do)."""
+        existing wrappers. train()/render() call _ensure_fresh_jit()
+        which invokes this automatically when the config fingerprint
+        drifts; explicit calls remain harmless."""
+        self._jit_built_for = self._jit_fingerprint()
         self._jit_train_step = jax.jit(
             self._train_step, static_argnames=("n_rays", "use_cdf", "mode")
         )
@@ -1142,6 +1190,121 @@ class NerfTask:
         self.cam_opt = Optimizer(spec, matrix_mask=self.cam_opt.matrix_mask)
         self.rebuild_jit_programs()
 
+    def find_closest_training_view(self, pose: np.ndarray) -> int:
+        """Training view whose (optimized) camera is closest to `pose`
+        (reference Nerf::find_closest_training_view,
+        testbed_nerf.cu:3710-3723: position distance + 0.25 × z-axis
+        distance, over the offset-corrected transforms)."""
+        from ..render.camera import so3_exp
+
+        xf = np.asarray(self.dataset.xforms_start, np.float32)
+        rot = np.asarray(self.state.cam["rot"], np.float32)
+        pos = np.asarray(self.state.cam["pos"], np.float32)
+        R_off = np.asarray(so3_exp(jnp.asarray(rot)), np.float32)  # (N,3,3)
+        R_eff = np.einsum("nij,njk->nik", R_off, xf[:, :, :3])
+        t_eff = xf[:, :, 3] + pos
+        pose = np.asarray(pose, np.float32)
+        score = (np.linalg.norm(t_eff - pose[:, 3], axis=-1)
+                 + 0.25 * np.linalg.norm(R_eff[:, :, 2] - pose[:, 2], axis=-1))
+        return int(np.argmin(score))
+
+    def get_extra_dims(self, view: int) -> np.ndarray:
+        """Trained per-image latent code for one training view
+        (reference get_extra_dims_cpu, python_api.cu:810-813)."""
+        if "extra" not in self.state.cam:
+            return np.zeros((0,), np.float32)
+        v = int(view)
+        if not (0 <= v < self.dataset.n_images):
+            raise IndexError(f"invalid training view {view}")
+        return np.asarray(self.state.cam["extra"][v], np.float32)
+
+    def set_camera_extrinsics(self, frame_idx: int, camera_to_world,
+                              convert_to_ngp: bool = True,
+                              xform_end=None, rolling_shutter=None) -> None:
+        """Replace one training camera's extrinsics at runtime
+        (reference set_camera_extrinsics[_rolling_shutter],
+        testbed_nerf.cu:2188-2213): updates the dataset + device
+        tensors and resets that frame's trained pose/exposure offsets."""
+        ds = self.dataset
+        i = int(frame_idx)
+        if not (0 <= i < ds.n_images):
+            raise IndexError(f"invalid frame index {frame_idx}")
+        m = np.asarray(camera_to_world, np.float32).reshape(3, 4)
+        m_end = (m if xform_end is None
+                 else np.asarray(xform_end, np.float32).reshape(3, 4))
+        if convert_to_ngp:
+            m = ds.nerf_matrix_to_ngp(m)
+            m_end = ds.nerf_matrix_to_ngp(m_end)
+        ds.xforms_start[i] = m
+        ds.xforms_end[i] = m_end
+        self.data["xforms"] = self.data["xforms"].at[i].set(jnp.asarray(m))
+        if "xforms_end" in self.data:
+            self.data["xforms_end"] = (
+                self.data["xforms_end"].at[i].set(jnp.asarray(m_end)))
+        if rolling_shutter is not None:
+            rs = np.asarray(rolling_shutter, np.float32).reshape(4)
+            ds.rolling_shutter[i] = rs
+            if "rolling_shutter" in self.data:
+                self.data["rolling_shutter"] = (
+                    self.data["rolling_shutter"].at[i].set(jnp.asarray(rs)))
+        # reference resets the per-frame pose/exposure optimizers
+        cam = dict(self.state.cam)
+        for k in ("rot", "pos", "exposure"):
+            cam[k] = cam[k].at[i].set(0.0)
+        self.state = dataclasses.replace(
+            self.state, cam=cam, cam_opt=self.cam_opt.init(cam))
+
+    def get_camera_extrinsics(self, frame_idx: int) -> np.ndarray:
+        """3×4 camera-to-world in the source (nerf) convention
+        (reference get_camera_extrinsics, testbed_nerf.cu:2287-2292:
+        ngp_matrix_to_nerf of the current transform)."""
+        i = int(frame_idx)
+        if not (0 <= i < self.dataset.n_images):
+            return np.eye(3, 4, dtype=np.float32)
+        return self.dataset.ngp_matrix_to_nerf(
+            np.asarray(self.dataset.xforms_start[i], np.float32))
+
+    def set_camera_intrinsics(self, frame_idx: int, fx: float = 0.0,
+                              fy: float = 0.0, cx: float = -0.5,
+                              cy: float = -0.5, k1: float = 0.0,
+                              k2: float = 0.0, p1: float = 0.0,
+                              p2: float = 0.0, k3: float = 0.0,
+                              k4: float = 0.0,
+                              is_fisheye: bool = False) -> None:
+        """Per-frame focal/principal + lens distortion (reference
+        set_camera_intrinsics, testbed_nerf.cu:2151-2186). Focal and
+        principal point are per-image here too; the lens model is
+        per-DATASET in this build (one compiled ray-gen program), so
+        distortion coefficients set the shared lens."""
+        from ..common import LensMode
+
+        ds = self.dataset
+        i = int(frame_idx)
+        if not (0 <= i < ds.n_images):
+            raise IndexError(f"invalid frame index {frame_idx}")
+        fx, fy = float(fx), float(fy)
+        if fx <= 0.0:
+            fx = fy
+        if fy <= 0.0:
+            fy = fx
+        w, h = ds.resolution
+        cx = -float(cx) if cx < 0 else float(cx) / w
+        cy = -float(cy) if cy < 0 else float(cy) / h
+        ds.focal_lengths[i] = (fx, fy)
+        ds.principal_points[i] = (cx, cy)
+        self.data["focals"] = self.data["focals"].at[i].set(
+            jnp.asarray([fx, fy], jnp.float32))
+        self.data["principals"] = self.data["principals"].at[i].set(
+            jnp.asarray([cx, cy], jnp.float32))
+        if any((k1, k2, k3, k4, p1, p2)):
+            if is_fisheye:
+                ds.lens_mode = LensMode.OPENCV_FISHEYE.value
+                ds.lens_params = np.array([k1, k2, k3, k4], np.float32)
+            else:
+                ds.lens_mode = LensMode.OPENCV.value
+                ds.lens_params = np.array([k1, k2, p1, p2], np.float32)
+            self.rebuild_jit_programs()  # lens mode is trace-time state
+
     def set_training_image(self, frame_idx: int, img: np.ndarray,
                            depth_img: Optional[np.ndarray] = None,
                            depth_scale: float = 1.0) -> None:
@@ -1178,6 +1341,7 @@ class NerfTask:
                     jnp.asarray(depth)))
 
     def train(self, n_steps: int = 1) -> float:
+        self._ensure_fresh_jit()
         loss = None
         stats = None
         for _ in range(n_steps):
@@ -1353,7 +1517,7 @@ class NerfTask:
         return dvols
 
     def _render_slab(self, width, height, xform, focal_length,
-                     principal_point, background):
+                     principal_point, background, return_depth=False):
         """Frame render through the slab-sweep pipeline (nerf/slab.py):
         dense bake + gather-free MXU slab compositing. The fast-preview
         counterpart of the exact per-sample march."""
@@ -1381,6 +1545,8 @@ class NerfTask:
                                  B0=B0, Bo=B0 // 2)
         out = np.asarray(out)[:n]
         img = np.concatenate([out[:, :4]], -1).reshape(height, width, 4)
+        if return_depth:
+            return img, out[:, 4].reshape(height, width)
         return img
 
     def _march_window(self, grid_bits, o, d, t, alive, tmax, window=None,
@@ -1833,14 +1999,18 @@ class NerfTask:
         render_mode: str = "shade",
         uv_warp_fn=None,
         render_quality: str = "exact",
+        return_depth: bool = False,
     ) -> np.ndarray:
         """Render a frame → (H, W, 4) float32 RGBA.
 
         Colors come out in the model's training space (sRGB for LDR
         datasets); `to_srgb` additionally converts HDR/linear renders.
         render_mode: "shade" | "depth" | "positions" | "normals" | "ao"
-        (reference ERenderMode, common.h:68-80).
+        (reference ERenderMode, common.h:68-80). With return_depth,
+        returns (frame, (H, W) expected-termination depth) — the pyngp
+        render_with_depth surface (python_api.cu:521-529).
         """
+        self._ensure_fresh_jit()
         if focal_length is None:
             fl = 0.5 * height / math.tan(0.5 * math.radians(fov))
             focal_length = (fl, fl)
@@ -1861,7 +2031,8 @@ class NerfTask:
         if render_quality == "slab":
             return self._render_slab(
                 width, height, np.asarray(camera_matrix, np.float32),
-                focal_length, principal_point, background)
+                focal_length, principal_point, background,
+                return_depth=return_depth)
         if render_quality == "baked":
             baked_cache = self._get_baked(
                 origin=np.asarray(camera_matrix, np.float32)[:, 3])
@@ -2022,6 +2193,8 @@ class NerfTask:
             if to_srgb:
                 rgb = np.asarray(linear_to_srgb(np.clip(rgb, 0, None)))
         frame = np.concatenate([rgb, alpha[:, None]], -1).reshape(height, width, 4)
+        if return_depth:
+            return frame, (depth_acc * inv).reshape(height, width)
         return frame
 
     def _surface_normals(self, params, pos_world):

@@ -26,6 +26,7 @@ class Keyframe:
     aperture_size: float = 0.0
     slice_z: float = 0.0
     timestamp: float = 0.0
+    scale: float = 1.0  # reference CameraKeyframe::scale
 
     @staticmethod
     def from_matrix(m: np.ndarray, **kw) -> "Keyframe":
@@ -37,6 +38,23 @@ class Keyframe:
         m[:3, 3] = self.T
         return m
 
+    # pyngp CameraKeyframe aliases (python_api.cu:901-909)
+    @property
+    def slice(self):  # noqa: A003 — reference member name
+        return self.slice_z
+
+    @slice.setter
+    def slice(self, v):  # noqa: A003
+        self.slice_z = float(v)
+
+    def m(self) -> np.ndarray:
+        return self.to_matrix()
+
+    def from_m(self, rv: np.ndarray) -> None:
+        rv = np.asarray(rv, np.float32)
+        self.R = rotmat_to_quat(rv[:3, :3])
+        self.T = rv[:3, 3].copy()
+
     def same_pos_as(self, other: "Keyframe") -> bool:
         """pyngp CameraKeyframe.same_pos_as: pose equality within the
         reference's epsilon (camera_path.h SameAs semantics)."""
@@ -45,6 +63,20 @@ class Keyframe:
             and (np.allclose(self.R, other.R, atol=1e-4)
                  or np.allclose(self.R, -np.asarray(other.R), atol=1e-4))
         )
+
+
+@dataclasses.dataclass
+class CameraPathPos:
+    """pyngp CameraPathPos (python_api.cu:927): a spline position as a
+    keyframe index + in-segment fraction. Tuple-unpackable for the
+    pre-existing (i, t) call sites."""
+
+    kfidx: int = 0
+    t: float = 0.0
+
+    def __iter__(self):
+        yield self.kfidx
+        yield self.t
 
 
 def editing_kernel(x: float, kernel: str = "gaussian") -> float:
@@ -195,14 +227,15 @@ class CameraPath:
                     else self.keyframes[n - 2].timestamp)
         return kf.timestamp / duration
 
-    def get_pos(self, playtime: float) -> tuple[int, float]:
+    def get_pos(self, playtime: float) -> "CameraPathPos":
         """(kfidx, t): segment index + fraction at `playtime` ∈ [0,1],
-        respecting keyframe timestamps (camera_path.cu:233-258)."""
+        respecting keyframe timestamps (camera_path.cu:233-258).
+        Returns a CameraPathPos (tuple-unpackable)."""
         n = len(self.keyframes)
         if n == 0:
-            return -1, 0.0
+            return CameraPathPos(-1, 0.0)
         if n == 1:
-            return 0, playtime
+            return CameraPathPos(0, playtime)
         duration = (self.keyframes[-1].timestamp if self.loop
                     else self.keyframes[n - 2].timestamp)
         pt = playtime * duration
@@ -210,7 +243,7 @@ class CameraPath:
         i = int(np.searchsorted(stamps, pt, side="right"))
         i = int(np.clip(i, 0, n - (1 if self.loop else 2)))
         prev = 0.0 if i == 0 else stamps[i - 1]
-        return i, (pt - prev) / max(stamps[i] - prev, 1e-12)
+        return CameraPathPos(i, (pt - prev) / max(stamps[i] - prev, 1e-12))
 
     def eval_camera_path(self, t: float) -> Keyframe:
         """Timestamp-aware spline evaluation (the pyngp method); falls

@@ -67,6 +67,10 @@ class SdfTask:
         self.analytic_normals = True
         self.fd_normals_epsilon = 1e-3
         self.surface_offset_scale = 1.0
+        # step-size scale for the sphere trace: <1 under-steps for
+        # imperfectly-metric learned fields (reference Sdf::
+        # distance_scale, advance_pos_kernel_sdf testbed_sdf.cu:185)
+        self.distance_scale = 1.0
         # ESDFGroundTruthMode (common.h:162-165): how ground_truth=True
         # renders the mesh — BVH raytrace or sphere-traced mesh SDF
         self.groundtruth_mode = "raytracedmesh"
@@ -417,7 +421,8 @@ class SdfTask:
         # when any changes (render-time settings, not hot-path state)
         knobs = (float(self.zero_offset), bool(self.analytic_normals),
                  float(self.fd_normals_epsilon), bool(self.floor_enable),
-                 float(self.floor_y), bool(self.render_shadows))
+                 float(self.floor_y), bool(self.render_shadows),
+                 float(self.distance_scale))
         if getattr(self, "_render_knobs", None) != knobs and hasattr(
                 self, "_jit_render_fn"):
             del self._jit_render_fn
@@ -429,7 +434,7 @@ class SdfTask:
 
             def sdf_fn(params, x):
                 return (self.model(params, x).astype(jnp.float32)[:, 0]
-                        - self.zero_offset)
+                        - self.zero_offset) * self.distance_scale
 
             def render(params, o, d, light, n_steps):
                 from ..ops.raymarch import ray_intersect_aabb

@@ -62,15 +62,23 @@ class Ema:
 
 class _ImageMetadata:
     """Per-image view of dataset metadata (pyngp's
-    TrainingImageMetadata binding; python_api.cu dataset.metadata)."""
+    TrainingImageMetadata binding; python_api.cu:755-765)."""
 
     def __init__(self, ds, i):
+        from .common import Lens
+
         if getattr(ds, "per_image_resolution", None) is not None:
             self.resolution = tuple(int(v) for v in ds.per_image_resolution[i])
         else:
             self.resolution = tuple(int(v) for v in ds.resolution)
         self.focal_length = tuple(float(v) for v in ds.focal_lengths[i])
         self.principal_point = tuple(float(v) for v in ds.principal_points[i])
+        self.rolling_shutter = tuple(
+            float(v) for v in np.asarray(ds.rolling_shutter[i]).reshape(4))
+        self.lens = Lens(ds.lens_mode, ds.lens_params)
+        # legacy pyngp name for the lens (python_api.cu:757-758)
+        self.camera_distortion = self.lens
+        self.light_dir = (1e4, 1e4, 1e4)  # reference default (unset)
 
 
 class _DatasetView:
@@ -90,6 +98,59 @@ class _DatasetView:
     @property
     def metadata(self):
         return [_ImageMetadata(self._ds, i) for i in range(self._ds.n_images)]
+
+    # readonly scalars of the pyngp NerfDataset binding
+    # (python_api.cu:767-780)
+    @property
+    def transforms(self):
+        return np.asarray(self._ds.xforms_start, np.float32)
+
+    @property
+    def render_aabb(self):
+        from .common import BoundingBox
+
+        if self._ds.render_aabb is None:
+            return BoundingBox(np.zeros(3), np.ones(3))
+        return BoundingBox(self._ds.render_aabb[0], self._ds.render_aabb[1])
+
+    @property
+    def up(self):
+        return np.asarray(self._ds.up, np.float32)
+
+    @property
+    def offset(self):
+        return np.asarray(self._ds.offset, np.float32)
+
+    @property
+    def scale(self) -> float:
+        return float(self._ds.scale)
+
+    @property
+    def aabb_scale(self) -> int:
+        return int(self._ds.aabb_scale)
+
+    @property
+    def from_mitsuba(self) -> bool:
+        return bool(self._ds.from_mitsuba)
+
+    @property
+    def is_hdr(self) -> bool:
+        return bool(self._ds.is_hdr)
+
+    @property
+    def envmap_resolution(self):
+        t = self._tb.task
+        if t is not None and "envmap" in t.state.cam:
+            eh, ew = t.state.cam["envmap"].shape[:2]
+            return (ew, eh)
+        return (0, 0)
+
+    @property
+    def render_aabb_to_local(self):
+        """pyngp dataset.render_aabb_to_local (python_api.cu:771)."""
+        m = getattr(self._ds, "render_aabb_to_local", None)
+        return (np.eye(3, dtype=np.float32) if m is None
+                else np.asarray(m, np.float32))
 
     @property
     def paths(self):
@@ -278,6 +339,207 @@ class _NerfTrainingView:
             raise RuntimeError("load a NeRF scene before set_image")
         t.set_training_image(frame_idx, img, depth_img, depth_scale)
 
+    @property
+    def loss_type(self):
+        """pyngp nerf.training.loss_type (python_api.cu:785)."""
+        from .ops.losses import loss_type_from_string
+
+        t = self._task()
+        if t is None:
+            return loss_type_from_string(
+                self._tb._nerf_pending.get("loss_type", "huber"))
+        return loss_type_from_string(getattr(t, "_loss_type_name", "huber"))
+
+    @loss_type.setter
+    def loss_type(self, v):
+        from .ops.losses import loss_fn, loss_type_from_string
+
+        name = str(getattr(v, "name", v))
+        t = self._task()
+        if t is None:
+            self._tb._nerf_pending["loss_type"] = name
+            return
+        t.loss = loss_fn(loss_type_from_string(name))
+        t._loss_type_name = name
+        t.rebuild_jit_programs()
+
+    def _opt_flag(self, name):
+        t = self._task()
+        return (bool(getattr(t, name)) if t is not None
+                else bool(self._tb._nerf_pending.get(name, False)))
+
+    def _set_opt_flag(self, name, v):
+        """Camera-optimization toggles (pyngp optimize_extrinsics /
+        _exposure / _focal_length / _distortion, python_api.cu:791-800).
+        Flipping one mid-run re-derives the jitted step (the flags are
+        trace-time state) and materializes any missing camera params."""
+        t = self._task()
+        if t is None:
+            self._tb._nerf_pending[name] = bool(v)
+            return
+        setattr(t, name, bool(v))
+        if name == "optimize_distortion" and v and \
+                "distortion" not in t.state.cam:
+            import dataclasses as dc
+
+            import jax.numpy as jnp
+
+            cam = dict(t.state.cam)
+            cam["distortion"] = jnp.zeros((32, 32, 2))
+            t.state = dc.replace(t.state, cam=cam,
+                                 cam_opt=t.cam_opt.init(cam))
+        t.rebuild_jit_programs()
+
+    @property
+    def optimize_extrinsics(self):
+        return self._opt_flag("optimize_extrinsics")
+
+    @optimize_extrinsics.setter
+    def optimize_extrinsics(self, v):
+        self._set_opt_flag("optimize_extrinsics", v)
+
+    @property
+    def optimize_exposure(self):
+        return self._opt_flag("optimize_exposure")
+
+    @optimize_exposure.setter
+    def optimize_exposure(self, v):
+        self._set_opt_flag("optimize_exposure", v)
+
+    @property
+    def optimize_focal_length(self):
+        return self._opt_flag("optimize_focal_length")
+
+    @optimize_focal_length.setter
+    def optimize_focal_length(self, v):
+        self._set_opt_flag("optimize_focal_length", v)
+
+    @property
+    def optimize_distortion(self):
+        return self._opt_flag("optimize_distortion")
+
+    @optimize_distortion.setter
+    def optimize_distortion(self, v):
+        self._set_opt_flag("optimize_distortion", v)
+
+    # reference exposes the latents toggle under two names
+    # (python_api.cu:791-792)
+    @property
+    def optimize_per_image_latents(self):
+        return self.optimize_extra_dims
+
+    @optimize_per_image_latents.setter
+    def optimize_per_image_latents(self, v):
+        self.optimize_extra_dims = v
+
+    @property
+    def include_sharpness_in_error(self):
+        return self._fwd_get("include_sharpness_in_error", False)
+
+    @include_sharpness_in_error.setter
+    def include_sharpness_in_error(self, v):
+        """pyngp include_sharpness_in_error: needs the sharpness maps
+        and the sharp grid, so it only takes effect on task (re)build."""
+        t = self._task()
+        if t is not None and bool(v) != t.include_sharpness_in_error:
+            raise RuntimeError(
+                "include_sharpness_in_error must be set before "
+                "load_training_data (it allocates the sharpness maps)")
+        self._tb._nerf_pending["include_sharpness_in_error"] = bool(v)
+
+    @property
+    def linear_colors(self):
+        """pyngp nerf.training.linear_colors (python_api.cu:784): HDR
+        datasets train in linear space; LDR in sRGB (readonly here —
+        chosen by the dataset, testbed_nerf.cu:2354)."""
+        ds = getattr(self._tb, "nerf_dataset", None)
+        return bool(ds.is_hdr) if ds is not None else False
+
+    @property
+    def depth_supervision_lambda(self):
+        return self._fwd_get("depth_supervision_lambda", 0.0)
+
+    @depth_supervision_lambda.setter
+    def depth_supervision_lambda(self, v):
+        # traced as a Python float inside the jitted loss → rebuild
+        self._fwd_set("depth_supervision_lambda", float(v), rebuild=True)
+
+    @property
+    def depth_loss_type(self):
+        """pyngp depth_loss_type (python_api.cu:786; default L1)."""
+        return self._fwd_get("depth_loss_type", "L1")
+
+    @depth_loss_type.setter
+    def depth_loss_type(self, v):
+        from .ops.losses import loss_type_from_string
+
+        name = getattr(v, "name", v)  # accept LossType enums or strings
+        loss_type_from_string(str(name))  # validate
+        self._fwd_set("depth_loss_type", str(name), rebuild=True)
+
+    def set_camera_intrinsics(self, frame_idx: int, fx: float = 0.0,
+                              fy: float = 0.0, cx: float = -0.5,
+                              cy: float = -0.5, k1: float = 0.0,
+                              k2: float = 0.0, p1: float = 0.0,
+                              p2: float = 0.0, k3: float = 0.0,
+                              k4: float = 0.0, is_fisheye: bool = False):
+        """pyngp set_camera_intrinsics (python_api.cu:815-831)."""
+        t = self._task()
+        if t is None:
+            raise RuntimeError("load a NeRF scene first")
+        t.set_camera_intrinsics(frame_idx, fx, fy, cx, cy, k1, k2, p1,
+                                p2, k3, k4, is_fisheye)
+
+    def set_camera_extrinsics(self, frame_idx: int, camera_to_world,
+                              convert_to_ngp: bool = True):
+        """pyngp set_camera_extrinsics (python_api.cu:832-839)."""
+        t = self._task()
+        if t is None:
+            raise RuntimeError("load a NeRF scene first")
+        t.set_camera_extrinsics(frame_idx, camera_to_world,
+                                convert_to_ngp=convert_to_ngp)
+
+    def set_camera_extrinsics_rolling_shutter(
+            self, frame_idx: int, camera_to_world_start,
+            camera_to_world_end, rolling_shutter,
+            convert_to_ngp: bool = True):
+        """pyngp set_camera_extrinsics_rolling_shutter
+        (testbed_nerf.cu:2188-2209)."""
+        t = self._task()
+        if t is None:
+            raise RuntimeError("load a NeRF scene first")
+        t.set_camera_extrinsics(frame_idx, camera_to_world_start,
+                                convert_to_ngp=convert_to_ngp,
+                                xform_end=camera_to_world_end,
+                                rolling_shutter=rolling_shutter)
+
+    def get_camera_extrinsics(self, frame_idx: int):
+        """pyngp get_camera_extrinsics (python_api.cu:840-844)."""
+        t = self._task()
+        if t is None:
+            raise RuntimeError("load a NeRF scene first")
+        return t.get_camera_extrinsics(frame_idx)
+
+    def reset_camera_extrinsics(self):
+        """pyngp reset_camera_extrinsics (testbed_nerf.cu:2215-2227):
+        zero all trained pose/exposure offsets."""
+        t = self._task()
+        if t is None:
+            return
+        import dataclasses as dc
+
+        cam = dict(t.state.cam)
+        for k in ("rot", "pos", "exposure"):
+            cam[k] = cam[k] * 0.0
+        t.state = dc.replace(t.state, cam=cam, cam_opt=t.cam_opt.init(cam))
+
+    def get_extra_dims(self, view: int):
+        """pyngp get_extra_dims (python_api.cu:810-813)."""
+        t = self._task()
+        if t is None:
+            raise RuntimeError("load a NeRF scene first")
+        return t.get_extra_dims(view)
+
 
 class _NerfView:
     """pyngp testbed.nerf.* (python_api.cu:520-620)."""
@@ -332,6 +594,71 @@ class _NerfView:
             self._tb._nerf_pending["rendering_extra_dims"] = vals
         else:
             t.set_rendering_extra_dims(vals)
+
+    def get_rendering_extra_dims(self):
+        """pyngp get_rendering_extra_dims (python_api.cu:741-743):
+        the latent vector renders currently condition on."""
+        import numpy as _np
+
+        t = self._tb.task
+        if t is None:
+            return _np.zeros((0,), _np.float32)
+        v = t._render_extra_vec()
+        return _np.zeros((0,), _np.float32) if v is None else v
+
+    def find_closest_training_view(self, pose=None) -> int:
+        """pyngp find_closest_training_view (python_api.cu:730-733):
+        training view closest to the current (or given) camera."""
+        t = self._tb.task
+        if t is None:
+            raise RuntimeError("load a NeRF scene first")
+        if pose is None:
+            pose = self._tb.camera_matrix
+        return t.find_closest_training_view(pose)
+
+    @property
+    def rgb_activation(self):
+        """pyngp nerf.rgb_activation (python_api.cu:716)."""
+        t = self._tb.task
+        return t.rgb_activation if t is not None else None
+
+    @rgb_activation.setter
+    def rgb_activation(self, v):
+        from .common import NerfActivation
+
+        t = self._tb.task
+        if t is None:
+            raise RuntimeError("load a NeRF scene first")
+        t.rgb_activation = NerfActivation(v)
+        t.rebuild_jit_programs()
+
+    @property
+    def density_activation(self):
+        """pyngp nerf.density_activation (python_api.cu:717)."""
+        t = self._tb.task
+        return t.density_activation if t is not None else None
+
+    @density_activation.setter
+    def density_activation(self, v):
+        from .common import NerfActivation
+
+        t = self._tb.task
+        if t is None:
+            raise RuntimeError("load a NeRF scene first")
+        t.density_activation = NerfActivation(v)
+        t.rebuild_jit_programs()
+
+    @property
+    def render_gbuffer_hard_edges(self) -> bool:
+        """pyngp nerf.render_gbuffer_hard_edges (python_api.cu:723):
+        G-buffer modes shade the raw surface value instead of the
+        accumulation-smoothed one; kept as a flag for API parity (the
+        headless G-buffer paths already shade hard values)."""
+        return getattr(self._tb, "_gbuffer_hard_edges", False)
+
+    @render_gbuffer_hard_edges.setter
+    def render_gbuffer_hard_edges(self, v: bool):
+        self._tb._gbuffer_hard_edges = bool(v)
 
     @property
     def cone_angle_constant(self):
@@ -605,6 +932,15 @@ class Testbed:
         # the per-view camera frusta of draw_visualizations)
         self.visualize_unit_cube = False
         self.visualize_cameras = False
+        # remaining pyngp Testbed knobs (python_api.cu:625-680)
+        self.autofocus = False  # m_autofocus: focus_z from scene depth
+        self.zoom = 1.0  # m_zoom: focal scale applied at render
+        self.up_dir = np.array([0.0, 1.0, 0.0], np.float32)  # m_up_dir
+        self.sun_dir = np.array([0.577, -0.577, 0.577],
+                                np.float32)  # m_sun_dir (SDF light)
+        self.floor_enable = False  # m_floor_enable (SDF ground plane)
+        self.display_gui = True  # m_imgui.enabled analog (viewer HUD)
+        self._last_frame = None  # view() returns the last render
         self.root_dir = str(Path(__file__).resolve().parents[1])
         self._nerf_pending: dict = {}
         self.nerf = _NerfView(self)
@@ -671,20 +1007,25 @@ class Testbed:
             from .nerf.task import NerfTask
 
             self.nerf_dataset = load_nerf(self.scene_path)
+            pend = self._nerf_pending
+
+            def _flag(name):
+                return bool(pend.get(name, getattr(self, name, False)))
+
             self.task = NerfTask(
                 self.nerf_dataset, self.network_config, seed=self.seed,
                 target_batch_size=self.training_batch_size,
-                optimize_extrinsics=getattr(self, "optimize_extrinsics", False),
-                optimize_exposure=getattr(self, "optimize_exposure", False),
-                optimize_focal_length=getattr(self, "optimize_focal_length", False),
-                optimize_distortion=getattr(self, "optimize_distortion", False),
+                optimize_extrinsics=_flag("optimize_extrinsics"),
+                optimize_exposure=_flag("optimize_exposure"),
+                optimize_focal_length=_flag("optimize_focal_length"),
+                optimize_distortion=_flag("optimize_distortion"),
                 train_envmap=getattr(self, "train_envmap", False),
+                include_sharpness_in_error=_flag("include_sharpness_in_error"),
             )
             # default view: first training camera
             self.camera_matrix = self.nerf_dataset.xforms_start[0].copy()
             # settings queued on the pyngp nerf.* views before a scene
             # was loaded
-            pend = self._nerf_pending
             if "near_distance" in pend:
                 self.task.training_near_distance = pend["near_distance"]
             if "random_bg_color" in pend:
@@ -701,9 +1042,17 @@ class Testbed:
                       "sample_focal_plane_proportional_to_error",
                       "optimize_extra_dims", "n_steps_between_cam_updates",
                       "exposure_l2_reg", "intrinsic_l2_reg",
-                      "rendering_extra_dims_from_training_view"):
+                      "rendering_extra_dims_from_training_view",
+                      "depth_supervision_lambda", "depth_loss_type"):
                 if k in pend:
                     setattr(self.task, k, pend[k])
+            if "loss_type" in pend:
+                from .ops.losses import loss_fn, loss_type_from_string
+
+                self.task.loss = loss_fn(
+                    loss_type_from_string(pend["loss_type"]))
+                self.task._loss_type_name = pend["loss_type"]
+                self.task.rebuild_jit_programs()
             if "extrinsic_learning_rate" in pend or "extrinsic_l2_reg" in pend:
                 self.task.set_camera_optimizer_hparams(
                     extrinsic_learning_rate=pend.get("extrinsic_learning_rate"),
@@ -907,11 +1256,28 @@ class Testbed:
                 frame = to_space(np.asarray(frame), produced_linear)
                 self.render_ms.update((time.perf_counter() - t0) * 1000.0)
                 return frame
+            fov_eff = fov or self.fov
+            if self.zoom != 1.0:
+                # m_zoom scales the render focal length
+                # (testbed.cu calc_focal_length * m_zoom)
+                if "focal_length" in kw:
+                    kw["focal_length"] = tuple(
+                        f * self.zoom for f in kw["focal_length"])
+                else:
+                    fov_eff = 2.0 * math.degrees(math.atan(
+                        math.tan(math.radians(fov_eff) * 0.5) / self.zoom))
+            if self.autofocus and hasattr(self.task, "focus_z"):
+                # m_autofocus recast: focus at the crop-box center
+                # distance (the reference depth-probes its 3D target)
+                center = 0.5 * (np.asarray(self.task.render_aabb_min)
+                                + np.asarray(self.task.render_aabb_max))
+                self.task.focus_z = float(
+                    np.linalg.norm(center - np.asarray(cam)[:, 3]))
             frame = self.task.render(
                 width,
                 height,
                 cam,
-                fov=fov or self.fov,
+                fov=fov_eff,
                 spp=spp,
                 background=bg,
                 render_quality=self.render_quality,
@@ -936,7 +1302,15 @@ class Testbed:
                     "sphere tracer / volume marcher is deterministic at "
                     "pixel centers)")
                 self._spp_warned = True
-            frame = self.task.render(width, height, cam, fov=fov or self.fov)
+            if self.mode == TestbedMode.SDF:
+                # pyngp m_sun_dir / m_floor_enable feed the SDF tracer
+                self.task.floor_enable = bool(self.floor_enable)
+                frame = self.task.render(
+                    width, height, cam, fov=fov or self.fov,
+                    light_dir=tuple(np.asarray(self.sun_dir, np.float32)))
+            else:
+                frame = self.task.render(width, height, cam,
+                                         fov=fov or self.fov)
             if self.tonemap_curve != TonemapCurve.IDENTITY:
                 from .render.buffer import tonemap
 
@@ -984,11 +1358,251 @@ class Testbed:
             a = np.clip(frame[..., 3:4], 0.0, 1.0)
             frame[..., :3] = frame[..., :3] + checker[..., None] * (1 - a)
         self.render_ms.update((time.perf_counter() - t0) * 1000.0)
+        self._last_frame = frame
         return frame
 
     # ------------------------------------------------------------------
     # pyngp binding-surface conveniences (python_api.cu:430-970)
     # ------------------------------------------------------------------
+    def view(self, linear: bool = True, view: int = 0) -> np.ndarray:
+        """pyngp view (python_api.cu:471-475): the most recent rendered
+        frame. The reference returns view `view`'s accumulation buffer;
+        headless builds keep a single view."""
+        if self._last_frame is None:
+            return self.render(64, 64, linear=linear)
+        frame = np.asarray(self._last_frame)
+        if not linear:
+            from .common import linear_to_srgb
+
+            frame = np.array(frame, copy=True)
+            frame[..., :3] = np.asarray(
+                linear_to_srgb(np.clip(frame[..., :3], 0.0, None)))
+        return frame
+
+    @property
+    def dof(self) -> float:
+        """pyngp dof ≡ aperture size (python_api.cu:631)."""
+        return self.aperture_size
+
+    @dof.setter
+    def dof(self, v: float):
+        self.aperture_size = float(v)
+
+    @property
+    def crop_box(self):
+        """pyngp crop_box: the render AABB as a BoundingBox
+        (python_api.cu render_aabb/crop surface)."""
+        from .common import BoundingBox
+
+        if self.task is None or not hasattr(self.task, "render_aabb_min"):
+            return BoundingBox(np.zeros(3), np.ones(3))
+        return BoundingBox(self.task.render_aabb_min,
+                           self.task.render_aabb_max)
+
+    @crop_box.setter
+    def crop_box(self, box):
+        self.render_aabb = np.stack([np.asarray(box.min), np.asarray(box.max)])
+
+    @property
+    def render_lens(self):
+        """pyngp render_lens (python_api.cu:676): the lens used for
+        free-camera renders (the dataset lens when loaded)."""
+        from .common import Lens
+
+        ds = getattr(self, "nerf_dataset", None)
+        if ds is None:
+            return Lens()
+        return Lens(ds.lens_mode, ds.lens_params)
+
+    @render_lens.setter
+    def render_lens(self, lens):
+        ds = getattr(self, "nerf_dataset", None)
+        if ds is None:
+            raise RuntimeError("load a NeRF scene first")
+        ds.lens_mode = getattr(lens.mode, "value", lens.mode)
+        ds.lens_params = np.asarray(lens.params, np.float32)
+        if self.task is not None:
+            self.task.rebuild_jit_programs()
+
+    def compute_marching_cubes_mesh(self, resolution=(256, 256, 256),
+                                    aabb=None, thresh: float = 2.5):
+        """pyngp compute_marching_cubes_mesh (python_api.cu:516-518 →
+        Testbed::compute_marching_cubes_mesh): returns a dict with
+        vertices V, normals N, colors C, faces F."""
+        from .geometry.marching_cubes import extract_mesh
+
+        res = int(resolution[0]) if np.ndim(resolution) else int(resolution)
+        verts, faces, colors = extract_mesh(self.task, res=res, iso=thresh)
+        normals = np.zeros_like(verts)
+        if len(verts) and len(faces):
+            # area-weighted vertex normals from the 1-ring
+            fn = np.cross(verts[faces[:, 1]] - verts[faces[:, 0]],
+                          verts[faces[:, 2]] - verts[faces[:, 0]])
+            for k in range(3):
+                np.add.at(normals, faces[:, k], fn)
+            normals /= np.maximum(
+                np.linalg.norm(normals, axis=-1, keepdims=True), 1e-12)
+        return {"V": verts, "N": normals,
+                "C": colors if colors is not None else
+                np.full_like(verts, 0.7), "F": faces}
+
+    def render_with_depth(self, width: int = 1920, height: int = 1080,
+                          spp: int = 1, linear: bool = True,
+                          start_t: float = -1.0, end_t: float = -1.0,
+                          fps: float = 30.0,
+                          shutter_fraction: float = 1.0):
+        """pyngp render_with_depth (python_api.cu:521-529 →
+        Testbed::render_to_cpu): returns (rgba (H,W,4), depth (H,W)).
+        NeRF depth is the expected ray-termination distance; other
+        primitives have no depth buffer in this build and return
+        zeros."""
+        if self.mode == TestbedMode.NERF and self.task is not None:
+            # one pass through the task renderer with the depth buffer
+            # kept (the plain render() path discards it)
+            cam = self.camera_matrix
+            bg = tuple(self.background_color)
+            kw = {}
+            if self._view_index is not None:
+                ds = self.nerf_dataset
+                i = self._view_index
+                s = ((width, height)[self.fov_axis]
+                     / ds.resolution[self.fov_axis])
+                kw["focal_length"] = tuple(ds.focal_lengths[i] * s)
+                kw["principal_point"] = tuple(ds.principal_points[i])
+            else:
+                kw["principal_point"] = tuple(self.screen_center)
+            frame, depth = self.task.render(
+                width, height, cam, fov=self.fov, spp=spp, background=bg,
+                render_quality=self.render_quality, return_depth=True, **kw)
+            from .common import NerfActivation, linear_to_srgb, srgb_to_linear
+
+            produced_linear = (self.task.rgb_activation
+                               == NerfActivation.EXPONENTIAL)
+            if produced_linear != linear:
+                frame = np.array(frame, copy=True)
+                if produced_linear:
+                    frame[..., :3] = np.asarray(
+                        linear_to_srgb(np.clip(frame[..., :3], 0.0, None)))
+                else:
+                    frame[..., :3] = np.asarray(
+                        srgb_to_linear(np.clip(frame[..., :3], 0.0, 1.0)))
+            return np.asarray(frame), np.asarray(depth, np.float32)
+        frame = self.render(width, height, spp=spp, linear=linear,
+                            start_t=start_t, end_t=end_t, fps=fps,
+                            shutter_fraction=shutter_fraction)
+        return np.asarray(frame), np.zeros((height, width), np.float32)
+
+    def reset_accumulation(self, due_to_camera_movement: bool = False,
+                           immediate_redraw: bool = True):
+        """pyngp reset_accumulation (python_api.cu:537-543): clear the
+        progressive spp accumulation so the next frame starts fresh.
+        (With camera smoothing, a camera-movement reset also restarts
+        the smoothed-pose EMA, like the reference's accumulation-reset
+        on movement.)"""
+        buf = getattr(self, "_accum_buffer", None)
+        if buf is not None:
+            buf.reset()
+        if due_to_camera_movement:
+            self._smoothed_cam = None
+
+    def create_empty_nerf_dataset(self, n_images: int, aabb_scale: int = 1,
+                                  is_hdr: bool = False):
+        """pyngp create_empty_nerf_dataset (python_api.cu:445-451 →
+        ngp::create_empty_nerf_dataset, nerf_loader.cu:153-173):
+        allocate an n_images dataset with identity cameras and black
+        frames, ready for set_image / set_camera_* streaming."""
+        from .io.nerf_loader import NerfDataset
+        from .nerf.task import NerfTask
+
+        n = int(n_images)
+        w, h = 64, 64  # placeholder canvas; set_image replaces frames
+        xforms = np.tile(np.eye(3, 4, dtype=np.float32), (n, 1, 1))
+        ds = NerfDataset(
+            images=np.zeros((n, h, w, 4),
+                            np.float16 if is_hdr else np.uint8),
+            is_hdr=bool(is_hdr),
+            xforms_start=xforms,
+            xforms_end=xforms.copy(),
+            focal_lengths=np.full((n, 2), 0.5 * w, np.float32),
+            principal_points=np.full((n, 2), 0.5, np.float32),
+            rolling_shutter=np.zeros((n, 4), np.float32),
+            resolution=(w, h),
+            aabb_scale=int(aabb_scale),
+            scale=0.33,
+            offset=np.array([0.5, 0.5, 0.5], np.float32),
+        )
+        self.mode = TestbedMode.NERF
+        self.nerf_dataset = ds
+        if not self.network_config:
+            self.network_config = default_config("nerf")
+        self.task = NerfTask(ds, self.network_config, seed=self.seed)
+        return ds
+
+    @property
+    def render_aabb_to_local(self) -> np.ndarray:
+        """pyngp render_aabb_to_local (python_api.cu:642): rotation
+        taking world points into the render crop box's local frame."""
+        t = self.task
+        if t is not None and hasattr(t, "render_aabb_to_local"):
+            return np.asarray(t.render_aabb_to_local, np.float32)
+        return np.eye(3, dtype=np.float32)
+
+    @render_aabb_to_local.setter
+    def render_aabb_to_local(self, m):
+        t = self.task
+        m = np.asarray(m, np.float32).reshape(3, 3)
+        if t is not None and hasattr(t, "render_aabb_to_local"):
+            t.render_aabb_to_local = m
+            t.rebuild_jit_programs()  # crop rotation is trace-time state
+
+    def compute_and_save_png_slices(self, filename: str,
+                                    resolution: int = 256, aabb=None,
+                                    thresh: float = float("inf"),
+                                    density_range: float = 4.0,
+                                    flip_y_and_z_axes: bool = False):
+        """pyngp compute_and_save_png_slices (python_api.cu:582-590 →
+        Testbed::compute_and_save_png_slices, testbed.cu:556-585):
+        sample the density (NeRF) / distance (SDF) field on a res³
+        grid and write the z-slices tiled into one grayscale PNG."""
+        from .geometry.marching_cubes import (
+            get_density_on_grid,
+            get_marching_cubes_res,
+            save_density_grid_to_png,
+        )
+
+        if aabb is None or (hasattr(aabb, "is_empty") and aabb.is_empty()):
+            if self.mode == TestbedMode.NERF and self.task is not None:
+                lo = np.asarray(self.task.render_aabb_min)
+                hi = np.asarray(self.task.render_aabb_max)
+            else:
+                lo, hi = np.zeros(3, np.float32), np.ones(3, np.float32)
+            to_local = self.render_aabb_to_local
+        else:
+            lo = np.asarray(aabb.min, np.float32)
+            hi = np.asarray(aabb.max, np.float32)
+            to_local = np.eye(3, dtype=np.float32)
+        if thresh == float("inf"):
+            thresh = float(getattr(self, "mesh_thresh", 2.5))
+        is_sdf = self.mode == TestbedMode.SDF
+        rng = float(density_range)
+        res3d = get_marching_cubes_res(int(resolution), lo, hi)
+        if is_sdf:
+            # inflate by `range` output voxels, then express the range
+            # in voxel units, negated: black outside / white inside
+            # (testbed.cu:568-577)
+            pad = rng * (hi - lo)[0] / res3d[0]
+            lo, hi = lo - pad, hi + pad
+            res3d = get_marching_cubes_res(int(resolution), lo, hi)
+            rng = -rng * (hi - lo)[0] / res3d[0]
+            thresh = 0.0
+        density = get_density_on_grid(self.task, res3d, lo, hi, to_local)
+        save_density_grid_to_png(
+            density, f"{filename}.density_slices_"
+            f"{res3d[0]}x{res3d[1]}x{res3d[2]}.png",
+            thresh=thresh, density_range=rng,
+            flip_y_and_z_axes=flip_y_and_z_axes)
+        return tuple(int(r) for r in res3d)
+
     def n_params(self) -> int:
         import jax
 
@@ -1225,6 +1839,7 @@ class Testbed:
         from .render.buffer import RenderBuffer
 
         buf = RenderBuffer(width, height)
+        self._accum_buffer = buf  # reset_accumulation() clears it
         for _ in range(spp):
             frame = self.render(width, height, **kw)
             buf.accumulate(frame)

@@ -21,8 +21,8 @@ except Exception:
 
 import numpy as np
 
-SNAPS = ["/tmp/fox_conv_s18.ingp", "/tmp/fox_conv_s17.ingp",
-         "/tmp/fox_bakebench.ingp"]
+SNAPS = ["/tmp/fox_r4.ingp", "/tmp/fox_conv_s18.ingp",
+         "/tmp/fox_conv_s17.ingp", "/tmp/fox_bakebench.ingp"]
 
 
 def log(msg):
