@@ -72,17 +72,18 @@ def bench_fox():
     views = np.linspace(0, ds.n_images - 1, 3).astype(int)
 
     def eval_psnr():
+        # all eval views through ONE compacted ray pool (render_batch):
+        # the per-round host sync is paid once for the batch, not per
+        # view (sequential views measured ~26 s steady in round 3)
+        frames = task.render_batch(
+            ew, eh, [ds.xforms_start[v] for v in views],
+            focal_lengths=[(ds.focal_lengths[v, 0] * ew / w,
+                            ds.focal_lengths[v, 1] * eh / h) for v in views],
+            principal_points=[tuple(ds.principal_points[v]) for v in views],
+            background=(0, 0, 0, 0),
+        )
         ses = []
-        for v in views:
-            fl = (
-                ds.focal_lengths[v, 0] * ew / w,
-                ds.focal_lengths[v, 1] * eh / h,
-            )
-            frame = task.render(
-                ew, eh, ds.xforms_start[v], focal_length=fl,
-                principal_point=tuple(ds.principal_points[v]),
-                background=(0, 0, 0, 0),
-            )
+        for frame, v in zip(frames, views):
             # GT: downsample by averaging 4x4 in linear space, then srgb
             img = ds.images[v].astype(np.float32) / 255.0
             lin = np.asarray(srgb_to_linear(img[..., :3])) * img[..., 3:4]
@@ -384,6 +385,66 @@ def bench_gigapixel():
     }
 
 
+def bench_synthetic(train_s: float = 150.0):
+    """Blender-synthetic-style protocol PSNR (VERDICT r3 item 5: the
+    BASELINE names lego; no synthetic asset ships in this environment,
+    so a procedural stand-in with the same conventions — transparent
+    background, straight-alpha sRGB PNGs, held-out test transforms —
+    exercises the run.py eval protocol (run.py:257-317: black bg,
+    snap-to-pixel-centers, sRGB metric) end to end."""
+    import time as _t
+
+    from instant_ngp_tpu.common import linear_to_srgb, srgb_to_linear
+    from instant_ngp_tpu.config import load_network_config
+    from instant_ngp_tpu.io.nerf_loader import load_nerf
+    from instant_ngp_tpu.io.synthetic import generate_synthetic_dataset
+    from instant_ngp_tpu.metrics import mse_to_psnr
+    from instant_ngp_tpu.nerf.task import NerfTask
+
+    import imageio.v2 as imageio
+    import json as _json
+
+    t_gen = _t.time()
+    d, test_json = generate_synthetic_dataset(
+        "/tmp/ingp_synth_box", n_train=20, n_test=3, res=200, n_steps=448)
+    gen_s = _t.time() - t_gen
+
+    ds = load_nerf(str(d))
+    cfg = load_network_config("base.json", mode="nerf")
+    cfg.setdefault("encoding", {})["interpolation"] = "Simplex"
+    task = NerfTask(ds, cfg, n_rays_per_batch=1 << 12,
+                    max_samples_per_ray=32, n_march_iters=192)
+    task.train(2)  # compile
+    t0 = _t.time()
+    while _t.time() - t0 < train_s:
+        task.train(64)
+    trained_s = _t.time() - t0
+
+    # run.py eval protocol: black background, snap to pixel centers,
+    # sRGB-space PSNR against straight-alpha GT composited over black
+    meta = _json.loads(Path(test_json).read_text())
+    fov_x = float(meta["camera_angle_x"])
+    ses = []
+    for fr in meta["frames"]:
+        gt8 = imageio.imread(d / (fr["file_path"] + ".png"))
+        h, w = gt8.shape[:2]
+        gt = gt8.astype(np.float32) / 255.0
+        gt_lin = np.asarray(srgb_to_linear(gt[..., :3])) * gt[..., 3:4]
+        gt_srgb = np.asarray(linear_to_srgb(gt_lin))
+        c2w = ds.nerf_matrix_to_ngp(
+            np.asarray(fr["transform_matrix"], np.float32)[:3])
+        import math as _m
+
+        fl = 0.5 * w / _m.tan(0.5 * fov_x)
+        pred = task.render(w, h, c2w, focal_length=(fl, fl),
+                           background=(0, 0, 0, 1))
+        ses.append(np.mean((np.clip(pred[..., :3], 0, 1) - gt_srgb) ** 2))
+    return {"psnr": round(mse_to_psnr(float(np.mean(ses))), 2),
+            "steps": task.training_step,
+            "train_s": round(trained_s, 1), "gen_s": round(gen_s, 1),
+            "protocol": "run.py:257-317 (black bg, snap centers, sRGB)"}
+
+
 def bench_image():
     from instant_ngp_tpu.config import load_network_config
     from instant_ngp_tpu.image_fit.task import ImageTask
@@ -409,6 +470,7 @@ def bench_image():
 PHASES = {
     # name -> (callable name, subprocess timeout seconds)
     "fox": ("bench_fox", 5400),
+    "synthetic_box": ("bench_synthetic", 1200),
     "gigapixel": ("bench_gigapixel", 1800),
     "sdf_armadillo": ("bench_sdf", 1500),
     "volume_blob": ("bench_volume", 1200),

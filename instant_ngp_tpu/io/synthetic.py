@@ -39,33 +39,35 @@ def _scene_fields():
         ((0.0, 0.52, 0.0), 0.14, (0.9, 0.35, 0.75)),
     ]
 
+    bc = np.float32([b[0] for b in boxes])          # (NB, 3)
+    bh = np.float32([b[1] for b in boxes])
+    brgb = np.float32([b[2] for b in boxes])
+    sc = np.float32([s[0] for s in spheres])        # (NS, 3)
+    sr = np.float32([s[1] for s in spheres])
+    srgb_c = np.float32([s[2] for s in spheres])
+
+    def _inside(p):
+        """(N,3) → (N, NB+NS) bool, one broadcast pass per shape class."""
+        in_b = np.all(np.abs(p[:, None, :] - bc[None]) <= bh[None], -1)
+        d2 = np.sum((p[:, None, :] - sc[None]) ** 2, -1)
+        in_s = d2 <= (sr ** 2)[None]
+        return np.concatenate([in_b, in_s], 1)
+
+    all_rgb = np.concatenate([brgb, srgb_c], 0)
+
     def density(p):
         """(N,3) → (N,) density. Hard interiors (sigma=80), vacuum out."""
-        d = np.zeros(p.shape[0], np.float32)
-        for c, h, _ in boxes:
-            inside = np.all(np.abs(p - np.float32(c)) <= np.float32(h), -1)
-            d = np.maximum(d, np.where(inside, 80.0, 0.0))
-        for c, r, _ in spheres:
-            inside = np.linalg.norm(p - np.float32(c), axis=-1) <= r
-            d = np.maximum(d, np.where(inside, 80.0, 0.0))
-        return d
+        return np.where(_inside(p).any(1), np.float32(80.0),
+                        np.float32(0.0))
 
     def color(p):
-        """(N,3) → (N,3) linear albedo with a simple height shade."""
-        col = np.zeros((p.shape[0], 3), np.float32)
-        hit = np.zeros(p.shape[0], bool)
-        for c, h, rgb in boxes:
-            inside = np.all(np.abs(p - np.float32(c)) <= np.float32(h), -1)
-            put = inside & ~hit
-            col[put] = rgb
-            hit |= inside
-        for c, r, rgb in spheres:
-            inside = np.linalg.norm(p - np.float32(c), axis=-1) <= r
-            put = inside & ~hit
-            col[put] = rgb
-            hit |= inside
+        """(N,3) → (N,3) linear albedo (first shape in declaration
+        order wins) with a simple height shade."""
+        ins = _inside(p)
+        first = np.argmax(ins, 1)  # 0 when none inside — masked below
+        col = all_rgb[first] * ins.any(1)[:, None]
         shade = 0.65 + 0.35 * np.clip(p[:, 1] + 0.5, 0.0, 1.0)
-        return col * shade[:, None]
+        return (col * shade[:, None]).astype(np.float32)
 
     return density, color
 
@@ -104,15 +106,36 @@ def _render_gt(density, color, c2w, res: int, fov_x: float,
     dt = float(ts[1] - ts[0])
     rgb = np.zeros((d.shape[0], 3), np.float32)
     T = np.ones(d.shape[0], np.float32)
-    for t in ts:  # keeps peak memory at one slab of samples
-        p = o + t * d
-        sig = density(p)
+    N = d.shape[0]
+    # vectorize 64 steps at a time (per-step python loops measured
+    # ~1.5 µs/sample; chunked it's ~50 ms per million samples)
+    scene_lo = np.float32([-0.66, -0.46, -0.66])
+    scene_hi = np.float32([0.66, 0.67, 0.66])
+    for s0 in range(0, n_steps, 64):
+        tc = ts[s0:s0 + 64]
+        S = len(tc)
+        p = (o[:, None, :] + tc[None, :, None] * d[:, None, :]).reshape(-1, 3)
+        # cheap scene-bounds pre-filter: only ~5-20% of samples are
+        # near the scene; the 13-shape field eval is the frame cost
+        near = np.all((p >= scene_lo) & (p <= scene_hi), -1)
+        sel = np.nonzero(near)[0]
+        sig = np.zeros(N * S, np.float32)
+        if len(sel):
+            sig[sel] = density(p[sel])
+        sig = sig.reshape(N, S)
         if not sig.any():
             continue
         a = 1.0 - np.exp(-sig * dt)
-        w = T * a
-        rgb += w[:, None] * color(p)
-        T *= 1.0 - a
+        # transmittance before each in-chunk sample
+        Tc = np.cumprod(1.0 - a, axis=1)
+        T_before = np.concatenate([np.ones((N, 1), np.float32),
+                                   Tc[:, :-1]], 1)
+        w = T[:, None] * T_before * a
+        col = np.zeros((N * S, 3), np.float32)
+        if len(sel):
+            col[sel] = color(p[sel])
+        rgb += np.einsum("ns,nsc->nc", w, col.reshape(N, S, 3))
+        T *= Tc[:, -1]
     alpha = 1.0 - T
     straight = rgb / np.maximum(alpha[:, None], 1e-6)
     out = np.concatenate([np.clip(straight, 0, 1), alpha[:, None]], -1)

@@ -109,8 +109,10 @@ def bake_dense(
 
     def occ_at(occ, n):
         if n >= occ.shape[0]:
-            rep = n // occ.shape[0]
-            return occ.repeat(rep, 0).repeat(rep, 1).repeat(rep, 2)
+            # nearest-cell upsample (exact: each fine voxel tests its
+            # containing occupancy cell; works for non-multiples too)
+            idx = np.arange(n) * occ.shape[0] // n
+            return occ[np.ix_(idx, idx, idx)]
         f = occ.shape[0] // n
         return occ.reshape(n, f, n, f, n, f).any((1, 3, 5))
 
@@ -155,16 +157,35 @@ def bake_dense(
 FIXED_BAKE_DIR = np.float32([0.5774, 0.5774, 0.5774])
 
 
+# body-diagonal sub-voxel offsets for the transmittance-corrected
+# sigma bake (±1/4 voxel along two diagonals — cheap, direction-free)
+_SIGMA_TAPS = np.float32([
+    [-0.25, -0.25, -0.25], [0.25, 0.25, 0.25],
+    [-0.25, 0.25, -0.25], [0.25, -0.25, 0.25],
+])
+
+
 def make_voxel_eval(model, rgb_activation, density_activation):
     """Jitted voxel-center evaluator: (C,3) int cells of cascade m at
-    resolution n → (C,4) activated [r,g,b,sigma]."""
+    resolution n → (C,4) activated [r,g,b,sigma_eff].
+
+    sigma_eff is TRANSMITTANCE-corrected: the slab renderer integrates
+    at one sample per voxel (dz = the voxel size), 4-8× coarser than
+    the exact march, and E[exp(−σ·dz)] ≠ exp(−E[σ]·dz) when σ varies
+    inside the voxel (fox fur: the center-sampled bake saturated
+    opacity on the low-density outer fuzz). Bake
+    σ_eff = −log(mean_taps exp(−σ_tap·dz))/dz from 4 sub-voxel density
+    taps + the center so one coarse step reproduces the voxel's true
+    mean transmittance."""
 
     @functools.partial(jax.jit, static_argnums=(7,))
     def eval_chunk(params, bricks, cells, mip, n, aabb, origin_or_dir,
                    use_origin: bool):
         aabb_min, aabb_max = aabb
-        unit = (cells.astype(jnp.float32) + 0.5) / n.astype(jnp.float32)
-        world = (unit - 0.5) * jnp.exp2(mip.astype(jnp.float32)) + 0.5
+        nf = n.astype(jnp.float32)
+        unit = (cells.astype(jnp.float32) + 0.5) / nf
+        scale = jnp.exp2(mip.astype(jnp.float32))
+        world = (unit - 0.5) * scale + 0.5
         pos_w = (world - aabb_min) / (aabb_max - aabb_min)
         if use_origin:
             d = world - origin_or_dir
@@ -174,9 +195,22 @@ def make_voxel_eval(model, rgb_activation, density_activation):
             d = jnp.broadcast_to(origin_or_dir, world.shape)
         out = model(params, pos_w, warp_direction(d), bricks=bricks)
         rgb = network_to_rgb(out[:, :3].astype(jnp.float32), rgb_activation)
-        sigma = network_to_density(out[:, 3].astype(jnp.float32),
-                                   density_activation)
-        return jnp.concatenate([rgb, sigma[:, None]], -1)
+        sigma_c = network_to_density(out[:, 3].astype(jnp.float32),
+                                     density_activation)
+        # sub-voxel density taps (density-only path: no dir encoding)
+        dz = scale / nf  # voxel size in scene units
+        sigmas = [sigma_c]
+        for tap in _SIGMA_TAPS:
+            unit_t = (cells.astype(jnp.float32) + 0.5 + jnp.asarray(tap)) / nf
+            world_t = (unit_t - 0.5) * scale + 0.5
+            pos_t = (world_t - aabb_min) / (aabb_max - aabb_min)
+            logit = model.density(params, pos_t, bricks=bricks)[:, 0]
+            sigmas.append(network_to_density(
+                logit.astype(jnp.float32), density_activation))
+        trans = jnp.mean(
+            jnp.stack([jnp.exp(-s * dz) for s in sigmas]), axis=0)
+        sigma_eff = -jnp.log(jnp.maximum(trans, 1e-20)) / dz
+        return jnp.concatenate([rgb, sigma_eff[:, None]], -1)
 
     return eval_chunk
 
@@ -206,13 +240,14 @@ def _ray_box_entry(o, dirs, lo, hi):
     return jnp.where(hit, jnp.maximum(tmin, 0.0), jnp.inf)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "B"))
-def sweep(
+@functools.partial(jax.jit, static_argnames=("n", "B", "L"))
+def sweep_octave(
     vol_t,      # (n, n, n, 4) bf16, axis 0 = sweep axis (permuted)
     e_p,        # (3,) eye, permuted coords
     sign,       # f32 ±1: sweep direction along axis 0
     lo_p,       # (3,) cascade extent lower corner, permuted
     hi_p,       # (3,)
+    k_first,    # i32 physical slab index of the octave's NEAREST slab
     z_base,     # f32 baseplane plane coordinate (axis 0)
     bp_lo,      # (2,) baseplane window lower (u, v)
     bp_hi,      # (2,)
@@ -221,9 +256,18 @@ def sweep(
     *,
     n: int,
     B: int,
+    L: int,
 ):
-    """Sweep one cascade volume front-to-back; returns (front, back)
-    layers, each (B, B, LAYER_CH): [premult rgb, T, sum w*t]."""
+    """Sweep L consecutive slabs (one depth OCTAVE) front-to-back;
+    returns (front, back) layers, each (B, B, LAYER_CH):
+    [premult rgb, T, sum w*t].
+
+    Octaves bound the epipolar resampling ratio: with the baseplane at
+    the octave's far face, s_k = (z_k − eye)/(z_base − eye) stays in
+    [~0.5, 1], so every slab is sampled at or above its native density
+    regardless of where the eye sits (a single per-cascade baseplane
+    collapses either the near or the far content when the eye is
+    inside the volume — fox's cameras are)."""
     f32 = jnp.float32
     dz = (hi_p[0] - lo_p[0]) / n
     u0 = bp_lo[0] + (jnp.arange(B, dtype=f32) + 0.5) / B * (bp_hi[0] - bp_lo[0])
@@ -238,12 +282,15 @@ def sweep(
     dirs = jnp.stack([jnp.broadcast_to(zb_rel, uu.shape), du, dv],
                      -1) / dist[..., None]
     t_inner = _ray_box_entry(e_p, dirs, inner_lo_p, inner_hi_p)
+    sgn_i = jnp.where(sign > 0, 1, -1).astype(jnp.int32)
 
-    def body(carry, k):
+    def body(carry, j):
         rgb_f, T_f, dw_f, rgb_b, T_b, dw_b = carry
-        ksl = jnp.where(sign > 0, k, n - 1 - k)
+        ksl_raw = k_first + sgn_i * j
+        valid_k = (ksl_raw >= 0) & (ksl_raw < n)
+        ksl = jnp.clip(ksl_raw, 0, n - 1)
         z_k = lo_p[0] + (ksl.astype(f32) + 0.5) * dz
-        ahead = (z_k - e_p[0]) * sign > 0.49 * dz  # slab ahead of eye
+        ahead = ((z_k - e_p[0]) * sign > 0.49 * dz) & valid_k
         s_k = (z_k - e_p[0]) / zb_rel
         # baseplane pixel (i,j) samples the slab at the epipolar scale
         u_s = e_p[1] + (u0 - e_p[1]) * s_k
@@ -284,7 +331,7 @@ def sweep(
     init = (jnp.zeros((B, B, 3)), jnp.ones((B, B)), z,
             jnp.zeros((B, B, 3)), jnp.ones((B, B)), z)
     (rgb_f, T_f, dw_f, rgb_b, T_b, dw_b), _ = jax.lax.scan(
-        body, init, jnp.arange(n))
+        body, init, jnp.arange(L))
     front = jnp.concatenate([rgb_f, T_f[..., None], dw_f[..., None]], -1)
     back = jnp.concatenate([rgb_b, T_b[..., None], dw_b[..., None]], -1)
     return front, back
@@ -337,17 +384,20 @@ def composite_layers(a, b):
 
 
 @jax.jit
-def quad_pack(layer):
-    """(B,B,C) → (B*B, 4*C) bf16 rows where row (i*B+j) holds the 2x2
-    neighborhood [(i,j),(i,j+1),(i+1,j),(i+1,j+1)] — a full bilinear
-    footprint in ONE ≤64 B gather."""
-    rows, cols = layer.shape[0], layer.shape[1]
-    r0 = layer
-    r1 = jnp.concatenate([layer[:, 1:], layer[:, -1:]], 1)
-    r2 = jnp.concatenate([layer[1:], layer[-1:]], 0)
-    r3 = jnp.concatenate([r2[:, 1:], r2[:, -1:]], 1)
+def quad_pack(layers):
+    """(..., B, B, C) → (prod(...)·B·B, 4·C) bf16 rows where row
+    (i*B+j) of each layer holds the 2x2 neighborhood
+    [(i,j),(i,j+1),(i+1,j),(i+1,j+1)] — a full bilinear footprint in
+    ONE ≤64 B gather. Edge clamping is PER LAYER (a stacked-image
+    formulation bled across layer boundaries)."""
+    r0 = layers
+    r1 = jnp.concatenate([layers[..., :, 1:, :], layers[..., :, -1:, :]],
+                         -2)
+    r2 = jnp.concatenate([layers[..., 1:, :, :], layers[..., -1:, :, :]],
+                         -3)
+    r3 = jnp.concatenate([r2[..., :, 1:, :], r2[..., :, -1:, :]], -2)
     packed = jnp.concatenate([r0, r1, r2, r3], -1)
-    return packed.reshape(rows * cols, -1).astype(jnp.bfloat16)
+    return packed.reshape(-1, packed.shape[-1]).astype(jnp.bfloat16)
 
 
 def sample_packed(packed, B: int, ui, vi):
@@ -380,16 +430,20 @@ def sample_packed(packed, B: int, ui, vi):
 _PERMS = [(0, 1, 2), (1, 2, 0), (2, 0, 1)]
 
 
-@functools.partial(jax.jit, static_argnames=("B0", "Bo", "n_groups"))
-def _warp_composite(dirs, eye, f_pk, l_pk, b_pk, zb_tab, win_lo_tab,
-                    win_hi_tab, bg, *, B0: int, Bo: int, n_groups: int):
-    """Per-pixel screen warp + 3-layer composite.
+@functools.partial(jax.jit,
+                   static_argnames=("B0", "Bo", "n_groups", "nc"))
+def _warp_composite(dirs, eye, outer_pk, l_pk, zb_tab, win_lo_tab,
+                    win_hi_tab, bg, *, B0: int, Bo: int, n_groups: int,
+                    nc: int):
+    """Per-pixel screen warp + (2·nc−1)-layer composite.
 
     dirs: (N,3) unit ray directions (scene space); eye: (3,).
-    f_pk/b_pk: (n_groups*Bo*Bo, 4*LAYER_CH) quad-packed outer layers;
-    l_pk: (n_groups*B0*B0, ...) innermost layer.
-    zb_tab: (n_groups, 3) baseplane plane-coord per layer [F, L0, B];
-    win_*_tab: (n_groups, 3, 2) baseplane windows per layer.
+    outer_pk: (n_groups·(2nc−2)·Bo·Bo, 4·LAYER_CH) quad-packed outer
+    layers ordered [F_{nc−1} … F_1, B_1 … B_{nc−1}] per group;
+    l_pk: (n_groups·B0·B0, …) innermost layer.
+    zb_tab: (n_groups, 2nc−1) baseplane plane-coord per layer in
+    composite order [F_{nc−1} … F_1, L0, B_1 … B_{nc−1}];
+    win_*_tab: (n_groups, 2nc−1, 2) matching baseplane windows.
     Returns (N, LAYER_CH) composited [premult rgb, T, depth].
     """
     ax = jnp.argmax(jnp.abs(dirs), axis=-1)                # (N,)
@@ -402,6 +456,8 @@ def _warp_composite(dirs, eye, f_pk, l_pk, b_pk, zb_tab, win_lo_tab,
     e_a = jnp.take(eye, ax)
     e_u = jnp.take(eye, (ax + 1) % 3)
     e_v = jnp.take(eye, (ax + 2) % 3)
+    n_layers = 2 * nc - 1
+    mid = nc - 1  # composite-order index of the innermost layer
 
     def layer_uv(li, B):
         zb = jnp.take(zb_tab[:, li], g)
@@ -414,13 +470,13 @@ def _warp_composite(dirs, eye, f_pk, l_pk, b_pk, zb_tab, win_lo_tab,
         vi = (v - lo[:, 1]) / (hi[:, 1] - lo[:, 1]) * B - 0.5
         return ui, vi
 
-    def sample_stack(pk, li, B):
+    def sample_stack(pk, li, row_base, B):
         ui, vi = layer_uv(li, B)
         i0 = jnp.clip(jnp.floor(ui).astype(jnp.int32), 0, B - 1)
         j0 = jnp.clip(jnp.floor(vi).astype(jnp.int32), 0, B - 1)
         fu = jnp.clip(ui - i0.astype(jnp.float32), 0.0, 1.0)
         fv = jnp.clip(vi - j0.astype(jnp.float32), 0.0, 1.0)
-        rows = jnp.take(pk, g * (B * B) + i0 * B + j0,
+        rows = jnp.take(pk, row_base + i0 * B + j0,
                         axis=0).astype(jnp.float32)
         r = rows.reshape(-1, 2, 2, LAYER_CH)
         out = ((1 - fu) * (1 - fv))[:, None] * r[:, 0, 0] \
@@ -432,25 +488,62 @@ def _warp_composite(dirs, eye, f_pk, l_pk, b_pk, zb_tab, win_lo_tab,
         empty = jnp.zeros((LAYER_CH,), jnp.float32).at[3].set(1.0)
         return jnp.where(inside[:, None], out, empty)
 
-    F = sample_stack(f_pk, 0, Bo)
-    L = sample_stack(l_pk, 1, B0)
-    Bk = sample_stack(b_pk, 2, Bo)
-    out = composite_layers(composite_layers(F, L), Bk)
+    out = None
+    for li in range(n_layers):
+        if li == mid:
+            lay = sample_stack(l_pk, li, g * (B0 * B0), B0)
+        else:
+            oi = li if li < mid else li - 1  # outer-stack slot
+            lay = sample_stack(
+                outer_pk, li, (g * (n_layers - 1) + oi) * (Bo * Bo), Bo)
+        out = lay if out is None else composite_layers(out, lay)
     rgb = out[..., :3] + out[..., 3:4] * bg[:3] * bg[3]
     alpha = 1.0 - out[..., 3] * (1.0 - bg[3])
     return jnp.concatenate([rgb, alpha[:, None], out[..., 4:5]], -1)
 
 
-def _plan_group(eye_p, n, lo, hi, sign, dz):
-    """Pick the baseplane plane-coordinate for one (cascade, group):
-    the center of the first slab strictly ahead of the eye."""
+def _plan_octaves(e_p0, n, lo, hi, sign):
+    """Partition one (group, cascade) sweep into depth OCTAVES (host
+    planning, all floats local).
+
+    Octave boundaries are measured in slabs-ahead-of-the-eye: offsets
+    [0,8), [8,16), [16,32), [32,64), … from the first slab ahead.
+    Within each octave the eye-distance ratio is ≤ 2 (≤ ∞ only for the
+    merged first bucket, whose content is voxel-blurred anyway at that
+    proximity), so a per-octave baseplane at the octave's far edge
+    keeps the epipolar resampling scale in [~0.5, 1]. Static lengths →
+    one compiled sweep per (n, B, L).
+
+    Returns a list of (k_first, L, z_base) with k_first the physical
+    index of the octave's nearest slab."""
+    dz = (hi - lo) / n
     if sign > 0:
-        k0 = int(np.ceil((eye_p + 0.49 * dz - lo) / dz - 0.5))
-        k0 = min(max(k0, 0), n - 1)
-        return lo + (k0 + 0.5) * dz
-    k0 = int(np.ceil((hi - eye_p + 0.49 * dz) / dz - 0.5))
-    k0 = min(max(k0, 0), n - 1)
-    return hi - (k0 + 0.5) * dz
+        k0 = max(int(np.ceil((e_p0 + 0.49 * dz - lo) / dz - 0.5)), 0)
+        m_ahead = n - k0
+    else:
+        k0 = min(int(np.floor((e_p0 - 0.49 * dz - lo) / dz - 0.5)), n - 1)
+        m_ahead = k0 + 1
+    if m_ahead <= 0:
+        return []
+    out = []
+    c = 0
+    length = 8
+    while c < m_ahead:
+        L = min(length, max(m_ahead - c, 1))
+        # static lengths only: round the tail octave UP to its pow2
+        # size; out-of-range slabs are masked inside the kernel
+        L_static = length
+        k_first = k0 + (c if sign > 0 else -c)
+        k_last_off = c + L - 1
+        if sign > 0:
+            z_base = lo + (k0 + k_last_off + 1) * dz  # far edge
+        else:
+            z_base = lo + (k0 - k_last_off) * dz
+        out.append((k_first, L_static, float(z_base)))
+        c += L
+        if len(out) >= 2:
+            length *= 2
+    return out
 
 
 def render_frame(
@@ -462,11 +555,21 @@ def render_frame(
     Bo: int = 256,
 ):
     """Render unit ray dirs (N,3) from `eye` through the dense volumes.
-    Returns (N, 5) [premult rgb, alpha, depth] as a jax array."""
+    Returns (N, 5) [premult rgb, alpha, depth] as a jax array.
+
+    Orchestration: per (dominant-axis group, cascade), the volume is
+    swept in depth octaves (bounded epipolar ratio — see
+    _plan_octaves), the octave layers are merged far→near onto the
+    nearest octave's baseplane (footprint→footprint epipolar maps, so
+    angular resolution is preserved), and the final per-pixel warp
+    composites the 2·nc−1 per-cascade-side layers
+    F_{nc−1} … F_1, L0, B_1 … B_{nc−1} (exact depth order: inner
+    regions of outer volumes are zeroed at bake)."""
     eye = np.asarray(eye, np.float32)
     dirs_np = np.asarray(dirs, np.float32)
-    N = dirs_np.shape[0]
     nc = dvols.n_cascades
+    n_layers = 2 * nc - 1
+    mid = nc - 1
 
     ax = np.argmax(np.abs(dirs_np), axis=-1)
     d_a = np.take_along_axis(dirs_np, ax[:, None], -1)[:, 0]
@@ -482,46 +585,43 @@ def render_frame(
             vol_t[a] = [jnp.transpose(dvols.volumes[m], perm + (3,))
                         for m in range(nc)]
 
-    zb_tab = np.zeros((6, 3), np.float32)
-    win_lo_tab = np.ones((6, 3, 2), np.float32)
-    win_hi_tab = np.full((6, 3, 2), 2.0, np.float32)  # degenerate default
-    f_stack = np.zeros((6, Bo, Bo, LAYER_CH), np.float32)
-    f_stack[..., 3] = 1.0
-    b_stack = f_stack.copy()
+    zb_tab = np.zeros((6, n_layers), np.float32)
+    win_lo_tab = np.ones((6, n_layers, 2), np.float32)
+    win_hi_tab = np.full((6, n_layers, 2), 2.0, np.float32)  # degenerate
     l_stack = np.zeros((6, B0, B0, LAYER_CH), np.float32)
     l_stack[..., 3] = 1.0
-    f_dev = jnp.asarray(f_stack)
-    b_dev = jnp.asarray(b_stack)
     l_dev = jnp.asarray(l_stack)
+    outer_dev = None
+    if nc > 1:
+        o_stack = np.zeros((6, n_layers - 1, Bo, Bo, LAYER_CH), np.float32)
+        o_stack[..., 3] = 1.0
+        outer_dev = jnp.asarray(o_stack)
 
     inf3 = np.full(3, np.inf, np.float32)
     for g in groups:
         a, sgn = int(g // 2), (-1.0 if g % 2 else 1.0)
         perm = _PERMS[a]
         e_p = eye[list(perm)]
+        e_d = jnp.asarray(e_p)
         mask = g_np == g
         du = dirs_np[mask][:, perm[1]] / dirs_np[mask][:, perm[0]]
         dv = dirs_np[mask][:, perm[2]] / dirs_np[mask][:, perm[0]]
 
-        layers = []  # per cascade (front, back, z_b, win_lo, win_hi)
+        def footprint(z_b, dz):
+            """Group ray footprint on plane z_b (± a 2-voxel pad)."""
+            s = z_b - e_p[0]
+            u0 = e_p[1] + du * s
+            v0 = e_p[2] + dv * s
+            pad = 2 * dz
+            wlo = np.float32([u0.min() - pad, v0.min() - pad])
+            whi = np.float32([u0.max() + pad, v0.max() + pad])
+            return wlo, np.maximum(whi, wlo + 1e-4)
+
+        per_cascade = []  # (front, back, z_near, wlo, whi) MERGED
         for m in range(nc):
             n = dvols.res[m]
             lo, hi = cascade_extent(m)
             dz = (hi - lo) / n
-            z_b = _plan_group(e_p[0], n, lo, hi, sgn, dz)
-            # frustum footprint on this baseplane, clipped to extent
-            s = (z_b - e_p[0])
-            u0 = e_p[1] + du * s
-            v0 = e_p[2] + dv * s
-            # window = the group's pixel footprint on the baseplane.
-            # NOT clipped to the volume extent: rays entering through
-            # a side face intersect the baseplane outside the extent,
-            # and the epipolar scale brings them inside on later slabs
-            # (|du|,|dv| <= 1 by dominant-axis grouping bounds this).
-            pad = 2 * dz
-            wlo = np.float32([u0.min() - pad, v0.min() - pad])
-            whi = np.float32([u0.max() + pad, v0.max() + pad])
-            whi = np.maximum(whi, wlo + 1e-4)
             if m == 0:
                 ilo, ihi = inf3, inf3  # miss → everything in front
             else:
@@ -529,52 +629,62 @@ def render_frame(
                 ilo = np.full(3, l_in, np.float32)
                 ihi = np.full(3, h_in, np.float32)
             B = B0 if m == 0 else Bo
-            front, back = sweep(
-                vol_t[a][m], jnp.asarray(e_p), jnp.float32(sgn),
-                jnp.asarray(np.full(3, lo, np.float32)),
-                jnp.asarray(np.full(3, hi, np.float32)),
-                jnp.float32(z_b), jnp.asarray(wlo), jnp.asarray(whi),
-                jnp.asarray(ilo), jnp.asarray(ihi), n=n, B=B)
-            layers.append((front, back, z_b, wlo, whi))
+            octs = _plan_octaves(float(e_p[0]), n, lo, hi, sgn)
+            merged = None  # (front, back, z_b, wlo, whi), far→near fold
+            for k_first, L, z_b in reversed(octs):
+                wlo, whi = footprint(z_b, dz)
+                front, back = sweep_octave(
+                    vol_t[a][m], e_d, jnp.float32(sgn),
+                    jnp.asarray(np.full(3, lo, np.float32)),
+                    jnp.asarray(np.full(3, hi, np.float32)),
+                    jnp.int32(k_first), jnp.float32(z_b),
+                    jnp.asarray(wlo), jnp.asarray(whi),
+                    jnp.asarray(ilo), jnp.asarray(ihi), n=n, B=B, L=L)
+                if merged is None:
+                    merged = (front, back, z_b, wlo, whi)
+                    continue
+                # resample the farther merged pair onto THIS octave's
+                # (nearer) baseplane and composite behind it — the
+                # footprint→footprint epipolar map is 1:1 in angle
+                mf, mb, z_far, lo_far, hi_far = merged
+                args = (e_d, jnp.float32(z_far), jnp.asarray(lo_far),
+                        jnp.asarray(hi_far), jnp.float32(z_b),
+                        jnp.asarray(wlo), jnp.asarray(whi))
+                mf = resample_layer(mf, *args, B_out=B)
+                mb = resample_layer(mb, *args, B_out=B)
+                merged = (composite_layers(front, mf),
+                          composite_layers(back, mb), z_b, wlo, whi)
+            if merged is None:  # eye beyond the far face: no slabs
+                z_fake = float(e_p[0] + sgn)
+                wlo, whi = footprint(z_fake, dz)
+                empty = jnp.broadcast_to(
+                    jnp.zeros((LAYER_CH,)).at[3].set(1.0), (B, B, LAYER_CH))
+                merged = (empty, empty, z_fake, wlo, whi)
+            per_cascade.append(merged)
 
-        # innermost: single layer on its own plane
-        l0 = composite_layers(layers[0][0], layers[0][1])
-        zb_tab[g, 1] = layers[0][2]
-        win_lo_tab[g, 1] = layers[0][3]
-        win_hi_tab[g, 1] = layers[0][4]
+        # innermost: F and B are one layer (inner box at ∞ ⇒ all front)
+        f0, b0, z0, wlo0, whi0 = per_cascade[0]
+        l0 = composite_layers(f0, b0)
+        zb_tab[g, mid] = z0
+        win_lo_tab[g, mid] = wlo0
+        win_hi_tab[g, mid] = whi0
         l_dev = l_dev.at[g].set(l0)
+        for m in range(1, nc):
+            fm, bm, zm, wlom, whim = per_cascade[m]
+            li_f = mid - m          # F_m composite slot
+            li_b = mid + m          # B_m composite slot
+            for li, lay in ((li_f, fm), (li_b, bm)):
+                zb_tab[g, li] = zm
+                win_lo_tab[g, li] = wlom
+                win_hi_tab[g, li] = whim
+                oi = li if li < mid else li - 1
+                outer_dev = outer_dev.at[g, oi].set(lay)
 
-        if nc > 1:
-            # outer layers merge on the OUTERMOST cascade's baseplane
-            zM, loM, hiM = layers[-1][2], layers[-1][3], layers[-1][4]
-            e_d = jnp.asarray(e_p)
-
-            def to_outer(layer, m):
-                if m == nc - 1:
-                    return layer
-                _, _, z_s, lo_s, hi_s = layers[m]
-                return resample_layer(
-                    layer, e_d, jnp.float32(z_s), jnp.asarray(lo_s),
-                    jnp.asarray(hi_s), jnp.float32(zM), jnp.asarray(loM),
-                    jnp.asarray(hiM), B_out=Bo)
-
-            F = to_outer(layers[nc - 1][0], nc - 1)
-            for m in range(nc - 2, 0, -1):
-                F = composite_layers(F, to_outer(layers[m][0], m))
-            Bk = to_outer(layers[1][1], 1)
-            for m in range(2, nc):
-                Bk = composite_layers(Bk, to_outer(layers[m][1], m))
-            zb_tab[g, 0] = zb_tab[g, 2] = zM
-            win_lo_tab[g, 0] = win_lo_tab[g, 2] = loM
-            win_hi_tab[g, 0] = win_hi_tab[g, 2] = hiM
-            f_dev = f_dev.at[g].set(F)
-            b_dev = b_dev.at[g].set(Bk)
-
-    f_pk = quad_pack(f_dev.reshape(6 * Bo, Bo, LAYER_CH))
-    b_pk = quad_pack(b_dev.reshape(6 * Bo, Bo, LAYER_CH))
-    l_pk = quad_pack(l_dev.reshape(6 * B0, B0, LAYER_CH))
+    l_pk = quad_pack(l_dev)
+    outer_pk = (quad_pack(outer_dev) if outer_dev is not None
+                else jnp.zeros((1, 4 * LAYER_CH), jnp.bfloat16))
     return _warp_composite(
-        jnp.asarray(dirs_np), jnp.asarray(eye), f_pk, l_pk, b_pk,
+        jnp.asarray(dirs_np), jnp.asarray(eye), outer_pk, l_pk,
         jnp.asarray(zb_tab), jnp.asarray(win_lo_tab),
         jnp.asarray(win_hi_tab), jnp.asarray(background, jnp.float32),
-        B0=B0, Bo=Bo, n_groups=6)
+        B0=B0, Bo=Bo, n_groups=6, nc=nc)

@@ -400,6 +400,10 @@ class NerfTask:
         # slab-sweep renderer (nerf/slab.py) state
         self._slab_cache = None  # (key, DenseVolumes)
         self.slab_res0 = 256
+        # outer cascades bake at 2^m× coarser world density than the
+        # finest — 192³ halves their voxel blur vs the 128³ occupancy
+        # grid for ~3× the outer bake cost
+        self.slab_res_outer = 192
         self.slab_bake_view_dependent = False
         # render-space controls (reference render_aabb crop box
         # testbed.h:708, near distance, DoF aperture/focus
@@ -1496,7 +1500,7 @@ class NerfTask:
 
         if not self.slab_bake_view_dependent:
             origin = None
-        key = (self.training_step, self.slab_res0,
+        key = (self.training_step, self.slab_res0, self.slab_res_outer,
                None if origin is None else
                tuple(np.round(np.asarray(origin, np.float64), 4).tolist()))
         c = self._slab_cache
@@ -1512,6 +1516,7 @@ class NerfTask:
             self.max_cascade + 1, self.aabb_min, self.aabb_max,
             self.rgb_activation, self.density_activation,
             origin=origin, res0=self.slab_res0,
+            res_outer=self.slab_res_outer,
             bricks=self._get_bricks(params), eval_fn=self._voxel_eval)
         self._slab_cache = (key, dvols)
         return dvols
@@ -2196,6 +2201,65 @@ class NerfTask:
         if return_depth:
             return frame, (depth_acc * inv).reshape(height, width)
         return frame
+
+    def render_batch(
+        self,
+        width: int,
+        height: int,
+        camera_matrices,
+        focal_lengths=None,
+        principal_points=None,
+        background: tuple = (0.0, 0.0, 0.0, 0.0),
+        render_quality: str = "exact",
+    ) -> np.ndarray:
+        """Render V views through ONE shared compacted ray pool →
+        (V, H, W, 4). The per-round host sync and alive-ray compaction
+        are paid once for the whole batch instead of per view — the
+        eval-protocol fast path (bench eval was ~26 s for 3 sequential
+        views; the round loop dominates). Shade mode only."""
+        self._ensure_fresh_jit()
+        V = len(camera_matrices)
+        params = self.opt.inference_params(self.state.opt_state,
+                                           self.state.params)
+        grid_bits = self.state.grid.skipmip
+        bricks = self._get_bricks(params)
+        baked_cache = None
+        if render_quality == "baked":
+            baked_cache = self._get_baked(
+                origin=np.asarray(camera_matrices[0], np.float32)[:, 3])
+
+        ys, xs = np.meshgrid(np.arange(height), np.arange(width),
+                             indexing="ij")
+        uv = np.stack([(xs.reshape(-1) + 0.5) / width,
+                       (ys.reshape(-1) + 0.5) / height],
+                      -1).astype(np.float32)
+        os_, ds_, t0s, t1s = [], [], [], []
+        for v in range(V):
+            fl = (focal_lengths[v] if focal_lengths is not None
+                  else (0.5 * height / math.tan(0.5 * math.radians(50.0)),) * 2)
+            pp = (principal_points[v] if principal_points is not None
+                  else (0.5, 0.5))
+            o, d, tmin, tmax = self._jit_prep_rays(
+                jnp.asarray(uv), jnp.asarray([width, height], jnp.float32),
+                jnp.asarray(fl, jnp.float32), jnp.asarray(pp, jnp.float32),
+                jnp.asarray(camera_matrices[v], jnp.float32))
+            os_.append(o)
+            ds_.append(d)
+            t0s.append(tmin)
+            t1s.append(tmax)
+        o = jnp.concatenate(os_)
+        d = jnp.concatenate(ds_)
+        tminmax = (jnp.concatenate(t0s), jnp.concatenate(t1s))
+        rgb, alpha, depth, _ = self._render_rays(
+            params, grid_bits, o, d, bricks=bricks, tminmax=tminmax,
+            baked_cache=baked_cache)
+        rgb = np.asarray(rgb)
+        alpha = np.asarray(alpha)
+        bg = np.asarray(background, np.float32)
+        rgb = rgb + (1.0 - alpha)[:, None] * bg[None, :3] * (
+            bg[3] if len(bg) > 3 else 1.0)
+        out = np.concatenate([rgb, alpha[:, None]], -1)
+        return out.reshape(V, height, width, 4)
 
     def _surface_normals(self, params, pos_world):
         """-∇σ(pos), normalized (reference Normals render mode:

@@ -264,3 +264,18 @@ class TestShampooOptimizer:
             "cg_on_momentum": False, "frobenius_normalization": True,
         })
         assert spec.otype == "Adam"
+
+
+class TestRenderBatch:
+    def test_batch_matches_sequential(self, nerf_task):
+        task = nerf_task
+        cams = [task.dataset.xforms_start[0], task.dataset.xforms_start[1]]
+        fls = [(20.0, 20.0), (22.0, 22.0)]
+        pps = [(0.5, 0.5), (0.5, 0.5)]
+        batch = task.render_batch(12, 10, cams, focal_lengths=fls,
+                                  principal_points=pps)
+        assert batch.shape == (2, 10, 12, 4)
+        for i, cam in enumerate(cams):
+            single = task.render(12, 10, cam, focal_length=fls[i],
+                                 principal_point=pps[i])
+            np.testing.assert_allclose(batch[i], single, atol=2e-2)

@@ -221,3 +221,29 @@ def test_task_integration_slab_render():
                                  render_quality="slab"))
     assert img.shape == (16, 16, 4)
     assert np.isfinite(img).all()
+
+
+def test_eye_inside_outer_cascade_matches_brute_force():
+    """The fox failure mode (round-4 agreement was 10 dB): the camera
+    sits INSIDE the outer cascade. With the baseplane at the sweep's
+    exit face the epipolar scale stays <= 1 and far content keeps its
+    native sampling density."""
+    n0, n1 = 32, 32
+    vol0 = _smooth_blob(n0, (0.5, 0.5, 0.5), 0.25, 30.0, (0.9, 0.3, 0.1))
+    # outer content far from center so it's visible from inside
+    vol1 = _smooth_blob(n1, (0.85, 0.5, 0.5), 0.12, 25.0, (0.1, 0.4, 0.8))
+    c = (np.arange(n1) + 0.5) / n1
+    inner = (c > 0.25) & (c < 0.75)
+    m = inner[:, None, None] & inner[None, :, None] & inner[None, None, :]
+    vol1[m] = 0.0
+    dv = S.DenseVolumes(
+        volumes=[jnp.asarray(vol0, jnp.bfloat16),
+                 jnp.asarray(vol1, jnp.bfloat16)],
+        res=[n0, n1], n_cascades=2)
+    # eye INSIDE cascade 1 ([-0.5, 1.5]^3) but outside cascade 0
+    eye = np.float32([0.5, 0.45, -0.35])
+    dirs = _camera_dirs(eye, [0.6, 0.5, 0.6], n=7, fov_deg=50)
+    got = np.asarray(S.render_frame(dv, eye, dirs, B0=96, Bo=96))
+    ref = _brute_force(dv, eye, dirs)
+    assert np.abs(got[:, :3] - ref[:, :3]).max() < 0.08
+    assert np.abs(got[:, 3] - (1 - ref[:, 3])).max() < 0.08
