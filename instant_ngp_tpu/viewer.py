@@ -62,6 +62,22 @@ _PAGE = """<!DOCTYPE html>
  <button id="snap">save snapshot</button>
  <button id="shot">screenshot</button>
  <span id="msg"></span>
+ <details id="lvls"><summary>hash-level stats</summary>
+  <canvas id="lvlplot" width="224" height="64"></canvas>
+  <div id="lvltxt" style="font-size:10px"></div>
+ </details>
+ <details id="pathpanel"><summary>camera path</summary>
+  <div class="row">
+   <button id="kfadd">+ key</button>
+   <button id="kfdel">del</button>
+   <button id="kfclear">clear</button>
+   <span id="kfinfo">0 keys</span>
+  </div>
+  <label class="row">scrub <input type="range" id="patht" min="0" max="1"
+    step="0.002" value="0"></label>
+  <label class="row">play <input type="checkbox" id="pathplay"></label>
+  <select id="kflist" size="4" style="width:100%"></select>
+ </details>
 </div>
 <img id="view" draggable="false">
 <script>
@@ -116,7 +132,8 @@ async function refresh() {
   const res = +$('res').value;
   const t0 = performance.now();
   try {
-    const r = await fetch(`/render?theta=${theta}&phi=${phi}&r=${radius}&w=${res}&h=${res}`);
+    const pt = pathT !== null ? `&path_t=${pathT}` : '';
+    const r = await fetch(`/render?theta=${theta}&phi=${phi}&r=${radius}&w=${res}&h=${res}${pt}`);
     const blob = await r.blob();
     img.src = URL.createObjectURL(blob);
     $('msg').textContent = `${(performance.now() - t0).toFixed(0)} ms/frame`;
@@ -124,10 +141,65 @@ async function refresh() {
   busy = false;
   setTimeout(refresh, 10);
 }
+// ---- hash-level histogram panel (reference testbed.cu:5234-5284) ----
+async function pollLevels() {
+  if ($('lvls').open) {
+    try {
+      const ls = await (await fetch('/api/level_stats')).json();
+      const c = $('lvlplot').getContext('2d');
+      c.clearRect(0, 0, 224, 64);
+      const mx = Math.max(1e-9, ...ls.map(l => l.std));
+      const bw = 224 / Math.max(ls.length, 1);
+      ls.forEach((l, i) => {
+        c.fillStyle = l.hashed ? '#fa6' : '#6cf';
+        const h = 58 * l.std / mx;
+        c.fillRect(i * bw + 2, 62 - h, bw - 4, h);
+      });
+      $('lvltxt').textContent = ls.map(
+        (l, i) => `L${i}:${l.resolution}`).join(' ');
+    } catch (e) {}
+  }
+  setTimeout(pollLevels, 2000);
+}
+// ---- camera-path keyframe editor (reference camera_path.cu) ----
+let pathT = null;
+async function pathRefresh() {
+  const p = await (await fetch('/api/path')).json();
+  $('kfinfo').textContent = `${p.n} keys`;
+  const sel = $('kflist');
+  sel.innerHTML = '';
+  (p.keyframes || []).forEach((k, i) => {
+    const o = document.createElement('option');
+    o.value = i;
+    o.textContent = `#${i} t=${k.timestamp.toFixed(2)} fov=${k.fov.toFixed(0)}`;
+    sel.appendChild(o);
+  });
+}
+$('kfadd').addEventListener('click', async () => {
+  await fetch(`/api/path_add?theta=${theta}&phi=${phi}&r=${radius}`);
+  pathRefresh();
+});
+$('kfdel').addEventListener('click', async () => {
+  const i = $('kflist').value;
+  if (i !== '') { await fetch(`/api/path_remove?i=${i}`); pathRefresh(); }
+});
+$('kfclear').addEventListener('click', async () => {
+  await fetch('/api/path_clear'); pathRefresh();
+});
+$('patht').addEventListener('input', e => {
+  pathT = +e.target.value; dirty = true;
+});
+setInterval(() => {
+  if ($('pathplay').checked) {
+    pathT = ((pathT ?? 0) + 0.01) % 1;
+    $('patht').value = pathT; dirty = true;
+  }
+}, 100);
 let drag = null;
 img.addEventListener('pointerdown', e => { drag = [e.clientX, e.clientY]; });
 window.addEventListener('pointermove', e => {
   if (!drag) return;
+  pathT = null;  // manual orbit overrides path playback
   theta += (e.clientX - drag[0]) * 0.01;
   phi = Math.max(-1.5, Math.min(1.5, phi + (e.clientY - drag[1]) * 0.01));
   drag = [e.clientX, e.clientY]; dirty = true;
@@ -139,6 +211,8 @@ window.addEventListener('wheel', e => {
 });
 setInterval(() => { dirty = true; }, 2000);  // pick up training progress
 pollState();
+pollLevels();
+pathRefresh();
 refresh();
 </script></body></html>"""
 
@@ -245,7 +319,51 @@ class ViewerServer:
             self.testbed.save_snapshot(path, include_optimizer_state=True)
         return path
 
-    def render_image(self, theta, phi, radius, w, h, fmt="JPEG") -> bytes:
+    # ------------------------------------------------------------------
+    # camera-path keyframe editor (reference camera_path.cu:170-588 —
+    # the ImGui path editor recast as API + panel)
+    # ------------------------------------------------------------------
+    def path_json(self) -> dict:
+        p = self.testbed.camera_path
+        return {
+            "n": len(p.keyframes),
+            "duration_seconds": p.duration_seconds,
+            "keyframes": [
+                {"T": np.asarray(k.T, np.float32).tolist(),
+                 "R": np.asarray(k.R, np.float32).tolist(),
+                 "fov": float(k.fov),
+                 "timestamp": float(k.timestamp)}
+                for k in p.keyframes
+            ],
+        }
+
+    def path_add(self, theta, phi, radius) -> dict:
+        p = self.testbed.camera_path
+        with self._lock:
+            p.add_camera(orbit_matrix(theta, phi, radius),
+                         fov=float(self.testbed.fov))
+            p.make_keyframe_timestamps_equidistant()
+        return self.path_json()
+
+    def path_remove(self, i: int) -> dict:
+        p = self.testbed.camera_path
+        with self._lock:
+            if 0 <= i < len(p.keyframes):
+                p.keyframes.pop(i)
+                if p.keyframes:
+                    p.make_keyframe_timestamps_equidistant()
+        return self.path_json()
+
+    def level_stats_json(self) -> list:
+        from .nerf.task import NerfTask, level_stats
+
+        if not isinstance(self.testbed.task, NerfTask):
+            return []
+        with self._lock:
+            return level_stats(self.testbed.task)
+
+    def render_image(self, theta, phi, radius, w, h, fmt="JPEG",
+                     path_t=None) -> bytes:
         from PIL import Image
 
         if not getattr(self.testbed, "is_rendering", True):
@@ -256,7 +374,17 @@ class ViewerServer:
             if fmt == "JPEG" and getattr(self, "_last_frame", None) is not None:
                 return self._last_frame
 
-        cam = orbit_matrix(theta, phi, radius)
+        path = getattr(self.testbed, "camera_path", None)
+        if path_t is not None and path is not None and not path.empty():
+            # camera-path scrub/playback (the reference's path editor
+            # preview, camera_path.cu:170-588)
+            path.sanitize_keyframes()
+            kf = path.eval_camera_path(float(np.clip(path_t, 0.0, 1.0)))
+            cam = np.asarray(kf.to_matrix(), np.float32)
+            if getattr(kf, "fov", 0):
+                self.testbed.fov = float(kf.fov)
+        else:
+            cam = orbit_matrix(theta, phi, radius)
         # latency compensation: feed observed poses to the camera
         # predictor and render where the camera WILL be when the async
         # render lands (reference MatLogCameraPredictor, used for VR
@@ -313,6 +441,8 @@ class ViewerServer:
                         get("theta", 0), get("phi", 0.3), get("r", 2.0),
                         int(get("w", 384)), int(get("h", 384)),
                         fmt="PNG" if png else "JPEG",
+                        path_t=(float(q["path_t"][0])
+                                if "path_t" in q else None),
                     )
                     info = json.dumps({
                         "step": viewer.testbed.training_step,
@@ -337,6 +467,27 @@ class ViewerServer:
                     return
                 if u.path == "/api/save_snapshot":
                     self._json({"path": viewer.save_snapshot()})
+                    return
+                if u.path == "/api/level_stats":
+                    self._json(viewer.level_stats_json())
+                    return
+                if u.path == "/api/path":
+                    self._json(viewer.path_json())
+                    return
+                if u.path == "/api/path_add":
+                    q = parse_qs(u.query)
+                    get = lambda k, d: float(q.get(k, [d])[0])
+                    self._json(viewer.path_add(
+                        get("theta", 0), get("phi", 0.3), get("r", 2.0)))
+                    return
+                if u.path == "/api/path_remove":
+                    q = parse_qs(u.query)
+                    self._json(viewer.path_remove(int(q.get("i", [-1])[0])))
+                    return
+                if u.path == "/api/path_clear":
+                    with viewer._lock:
+                        viewer.testbed.camera_path.clear()
+                    self._json(viewer.path_json())
                     return
                 self.send_response(404)
                 self.end_headers()

@@ -75,3 +75,51 @@ def test_viewer_serves_page_and_frames():
         raise AssertionError("expected HTTP 400")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_viewer_path_editor_and_level_stats():
+    """Round-4 panels (VERDICT item 9): camera-path keyframe editor +
+    hash-level histogram, both driven over HTTP."""
+    import json as _json
+
+    from instant_ngp_tpu.common import TestbedMode
+    from instant_ngp_tpu.nerf.task import NerfTask
+    from instant_ngp_tpu.testbed import Testbed
+    from instant_ngp_tpu.viewer import ViewerServer
+
+    tb = Testbed()
+    ds = g._synthetic_dataset()
+    tb.nerf_dataset = ds
+    tb.mode = TestbedMode.NERF
+    tb.network_config = g._tiny_nerf_config()
+    tb.task = NerfTask(ds, tb.network_config, n_rays_per_batch=64,
+                       max_samples_per_ray=4, n_march_iters=8)
+    tb.task.train(1)
+
+    server = ViewerServer(tb, port=18766)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    time.sleep(0.5)
+    base = "http://127.0.0.1:18766"
+
+    # level stats: one entry per hashgrid level with a resolution
+    ls = _json.loads(urllib.request.urlopen(
+        base + "/api/level_stats").read())
+    assert len(ls) >= 1 and "resolution" in ls[0] and "std" in ls[0]
+
+    # keyframe editor: add 2, render a scrubbed frame, remove, clear
+    p = _json.loads(urllib.request.urlopen(
+        base + "/api/path_add?theta=0&phi=0.3&r=2").read())
+    p = _json.loads(urllib.request.urlopen(
+        base + "/api/path_add?theta=1&phi=0.2&r=2").read())
+    assert p["n"] == 2
+    assert p["keyframes"][1]["timestamp"] == 1.0
+    frame = urllib.request.urlopen(
+        base + "/render?w=16&h=16&path_t=0.5").read()
+    assert frame[:2] == b"\xff\xd8"  # JPEG from the path camera
+    p = _json.loads(urllib.request.urlopen(
+        base + "/api/path_remove?i=0").read())
+    assert p["n"] == 1
+    p = _json.loads(urllib.request.urlopen(
+        base + "/api/path_clear").read())
+    assert p["n"] == 0
