@@ -258,10 +258,21 @@ def bench_fox():
                                            render_quality="slab", **kw2))
             img_e = np.asarray(task.render(256, 256, ds.xforms_start[v],
                                            **kw2))
-            mse = float(np.mean((np.clip(img_e[..., :3], 0, 1)
-                                 - np.clip(img_s[..., :3], 0, 1)) ** 2))
-            extras["render_mrays_per_s"]["slab_vs_exact_psnr"] = round(
-                -10 * np.log10(max(mse, 1e-10)), 2)
+
+            def agree(a, b):
+                mse = float(np.mean((np.clip(a[..., :3], 0, 1)
+                                     - np.clip(b[..., :3], 0, 1)) ** 2))
+                return round(-10 * np.log10(max(mse, 1e-10)), 2)
+
+            extras["render_mrays_per_s"]["slab_vs_exact_psnr"] = agree(
+                img_e, img_s)
+            # apples-to-apples: per-camera view-dependent bake
+            task.slab_bake_view_dependent = True
+            img_v = np.asarray(task.render(256, 256, ds.xforms_start[v],
+                                           render_quality="slab", **kw2))
+            task.slab_bake_view_dependent = False
+            extras["render_mrays_per_s"]["slab_vs_exact_psnr_vd"] = agree(
+                img_e, img_v)
     except Exception as e:  # noqa: BLE001
         extras["render_mrays_per_s"]["slab_error"] = str(e)[:120]
     return _result(extras)

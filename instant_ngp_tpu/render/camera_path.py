@@ -78,6 +78,9 @@ class CameraPathPos:
         yield self.kfidx
         yield self.t
 
+    def __getitem__(self, i):
+        return (self.kfidx, self.t)[i]
+
 
 def editing_kernel(x: float, kernel: str = "gaussian") -> float:
     """Keyframe-editing falloff kernels (camera_path.cu:191-201):
