@@ -130,25 +130,30 @@ def bake_dense(
             occ = occ & ~(inner[:, None, None] & inner[None, :, None]
                           & inner[None, None, :])
         ijk = np.argwhere(occ).astype(np.int32)
-        vol = np.zeros((n * n * n, 4), np.float32)
+        # one overflow row at the end: padded chunk rows scatter there,
+        # keeping the whole bake ON DEVICE (the old host round-trip
+        # fetched ~100 MB of evals through the tunnel per bake)
+        vol = jnp.zeros((n * n * n + 1, 4), jnp.bfloat16)
         if len(ijk):
             n_chunks = (len(ijk) + chunk - 1) // chunk
             pad = n_chunks * chunk - len(ijk)
-            ijk_d = jnp.asarray(np.pad(ijk, ((0, pad), (0, 0))))
+            ijk_p = np.pad(ijk, ((0, pad), (0, 0)))
+            flat = ((ijk_p[:, 0].astype(np.int64) * n + ijk_p[:, 1]) * n
+                    + ijk_p[:, 2])
+            flat[len(ijk):] = n * n * n  # overflow slot
+            ijk_d = jnp.asarray(ijk_p)
+            flat_d = jnp.asarray(flat, jnp.int32)
             origin_d = (jnp.asarray(origin, jnp.float32)
                         if origin is not None
                         else jnp.asarray(FIXED_BAKE_DIR))
             aabb = (jnp.asarray(aabb_min), jnp.asarray(aabb_max))
-            outs = [
-                eval_fn(params, bricks, ijk_d[s : s + chunk],
-                        jnp.int32(m), jnp.int32(n), aabb, origin_d,
-                        origin is not None)
-                for s in range(0, n_chunks * chunk, chunk)
-            ]
-            vals = np.asarray(jnp.concatenate(outs))[: len(ijk)]
-            flat = (ijk[:, 0].astype(np.int64) * n + ijk[:, 1]) * n + ijk[:, 2]
-            vol[flat] = vals
-        volumes.append(jnp.asarray(vol.reshape(n, n, n, 4), jnp.bfloat16))
+            for s in range(0, n_chunks * chunk, chunk):
+                vals = eval_fn(params, bricks, ijk_d[s : s + chunk],
+                               jnp.int32(m), jnp.int32(n), aabb, origin_d,
+                               origin is not None)
+                vol = vol.at[flat_d[s : s + chunk]].set(
+                    vals.astype(jnp.bfloat16))
+        volumes.append(vol[: n * n * n].reshape(n, n, n, 4))
         res_list.append(n)
     return DenseVolumes(volumes=volumes, res=res_list,
                         n_cascades=n_cascades)

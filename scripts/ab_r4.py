@@ -57,7 +57,7 @@ def eval_psnr(task):
 def make_task(arm):
     cfg = load_network_config("base.json", mode="nerf")
     cfg.setdefault("encoding", {})["interpolation"] = "Simplex"
-    if arm == "s18decay":
+    if "decay" in arm:
         # late LR decay sized to the short-budget regime
         opt = cfg["optimizer"]["nested"]
         opt["decay_start"] = 1024
@@ -101,7 +101,7 @@ def run(arm):
         t0 = time.time()
         task.train(128)
         elapsed += time.time() - t0
-        if arm == "gi32" and task.training_step >= 512:
+        if "gi32" in arm and task.training_step >= 512:
             task.grid_update_interval = 32
         p = eval_psnr(task)
         best = max(best, p)
