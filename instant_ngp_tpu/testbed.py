@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import threading
 import time
 from pathlib import Path
 from typing import Optional
@@ -956,6 +957,37 @@ class Testbed:
 
         self._loss_scalar = Ema(half_life=10.0)
 
+        # cross-thread task queue (reference SharedQueue<ICallable>
+        # m_task_queue, testbed.h:735, drained at the top of frame(),
+        # testbed.cu:3969-3973): background threads post callables that
+        # must run on the thread pumping frame() — e.g. a viewer
+        # request mutating task state between train steps
+        import collections
+
+        self._task_queue: collections.deque = collections.deque()
+        self._task_queue_lock = threading.Lock()
+
+    def post_task(self, fn) -> "threading.Event":
+        """Enqueue a callable for execution at the start of the next
+        frame() tick on the frame-loop thread (reference
+        Testbed::do_gui_work / m_task_queue semantics). Returns an
+        Event set once the callable has run."""
+        done = threading.Event()
+        with self._task_queue_lock:
+            self._task_queue.append((fn, done))
+        return done
+
+    def _drain_task_queue(self):
+        while True:
+            with self._task_queue_lock:
+                if not self._task_queue:
+                    return
+                fn, done = self._task_queue.popleft()
+            try:
+                fn()
+            finally:
+                done.set()
+
     # ------------------------------------------------------------------
     # loading
     # ------------------------------------------------------------------
@@ -1087,6 +1119,7 @@ class Testbed:
         """One tick: train step(s) (reference frame → train_and_render,
         testbed.cu:3908-4034). Headless: rendering happens on demand."""
         t0 = time.perf_counter()
+        self._drain_task_queue()
         if self.shall_train and self.task is not None:
             loss = self.task.train(1)
             self.training_step = self.task.training_step

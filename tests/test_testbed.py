@@ -220,3 +220,49 @@ class TestRenderModePlumbing:
                       - frames[RenderMode.SHADE]).max() > 1e-6
         assert np.abs(frames[RenderMode.SLICE]
                       - frames[RenderMode.SHADE]).max() > 1e-6
+
+
+class TestTaskQueue:
+    def test_post_task_runs_on_frame_thread(self):
+        """Reference SharedQueue<ICallable> m_task_queue semantics
+        (testbed.h:735; drained at the top of frame(),
+        testbed.cu:3969-3973): callables posted from another thread run
+        on the thread pumping frame(), in FIFO order, before training."""
+        import threading
+
+        tb = Testbed()
+        tb.shall_train = False  # no task loaded; frame() still drains
+        ran = []
+        frame_thread = threading.get_ident()
+
+        def job(i):
+            def _run():
+                ran.append((i, threading.get_ident()))
+            return _run
+
+        events = []
+
+        def poster():
+            for i in range(3):
+                events.append(tb.post_task(job(i)))
+
+        t = threading.Thread(target=poster)
+        t.start()
+        t.join()
+        assert ran == []  # nothing runs until frame()
+        tb.frame()
+        assert [i for i, _ in ran] == [0, 1, 2]
+        assert all(tid == frame_thread for _, tid in ran)
+        assert all(e.is_set() for e in events)
+
+    def test_post_task_event_signals_even_on_error(self):
+        tb = Testbed()
+        tb.shall_train = False
+
+        def boom():
+            raise RuntimeError("task failed")
+
+        done = tb.post_task(boom)
+        with pytest.raises(RuntimeError):
+            tb.frame()
+        assert done.is_set()
