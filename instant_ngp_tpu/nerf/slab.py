@@ -558,6 +558,7 @@ def render_frame(
     background=(0.0, 0.0, 0.0, 0.0),
     B0: int = 512,
     Bo: int = 256,
+    merge_layers: bool = True,
 ):
     """Render unit ray dirs (N,3) from `eye` through the dense volumes.
     Returns (N, 5) [premult rgb, alpha, depth] as a jax array.
@@ -573,8 +574,14 @@ def render_frame(
     eye = np.asarray(eye, np.float32)
     dirs_np = np.asarray(dirs, np.float32)
     nc = dvols.n_cascades
-    n_layers = 2 * nc - 1
-    mid = nc - 1
+    # merge_layers: all 2·nc−1 cascade layers are epipolar-merged onto
+    # the innermost (finest, nearest) baseplane per group BEFORE the
+    # warp — every merge is a footprint→footprint map over the same
+    # ray bundle (exact in angle, one bilinear resample of blur), and
+    # the per-pixel warp then costs ONE gather instead of 2·nc−1
+    # (gathers are the frame's serial wall; see module docstring)
+    n_layers = 1 if merge_layers else 2 * nc - 1
+    mid = 0 if merge_layers else nc - 1
 
     ax = np.argmax(np.abs(dirs_np), axis=-1)
     d_a = np.take_along_axis(dirs_np, ax[:, None], -1)[:, 0]
@@ -597,7 +604,7 @@ def render_frame(
     l_stack[..., 3] = 1.0
     l_dev = jnp.asarray(l_stack)
     outer_dev = None
-    if nc > 1:
+    if nc > 1 and not merge_layers:
         o_stack = np.zeros((6, n_layers - 1, Bo, Bo, LAYER_CH), np.float32)
         o_stack[..., 3] = 1.0
         outer_dev = jnp.asarray(o_stack)
@@ -670,6 +677,23 @@ def render_frame(
         # innermost: F and B are one layer (inner box at ∞ ⇒ all front)
         f0, b0, z0, wlo0, whi0 = per_cascade[0]
         l0 = composite_layers(f0, b0)
+        if merge_layers:
+            # fold every outer cascade onto the L0 baseplane (inner→
+            # outer keeps composite order F_m ⊕ … ⊕ L0 ⊕ … ⊕ B_m by
+            # associativity of the over operator)
+            for m in range(1, nc):
+                fm, bm, zm, wlom, whim = per_cascade[m]
+                args = (e_d, jnp.float32(zm), jnp.asarray(wlom),
+                        jnp.asarray(whim), jnp.float32(z0),
+                        jnp.asarray(wlo0), jnp.asarray(whi0))
+                fm = resample_layer(fm, *args, B_out=B0)
+                bm = resample_layer(bm, *args, B_out=B0)
+                l0 = composite_layers(fm, composite_layers(l0, bm))
+            zb_tab[g, 0] = z0
+            win_lo_tab[g, 0] = wlo0
+            win_hi_tab[g, 0] = whi0
+            l_dev = l_dev.at[g].set(l0)
+            continue
         zb_tab[g, mid] = z0
         win_lo_tab[g, mid] = wlo0
         win_hi_tab[g, mid] = whi0
@@ -692,4 +716,4 @@ def render_frame(
         jnp.asarray(dirs_np), jnp.asarray(eye), outer_pk, l_pk,
         jnp.asarray(zb_tab), jnp.asarray(win_lo_tab),
         jnp.asarray(win_hi_tab), jnp.asarray(background, jnp.float32),
-        B0=B0, Bo=Bo, n_groups=6, nc=nc)
+        B0=B0, Bo=Bo, n_groups=6, nc=1 if merge_layers else nc)
