@@ -435,6 +435,27 @@ def sample_packed(packed, B: int, ui, vi):
 _PERMS = [(0, 1, 2), (1, 2, 0), (2, 0, 1)]
 
 
+@jax.jit
+def _group_stats(dirs):
+    """Per-group planning summary computed ON DEVICE: (counts, lo, hi)
+    with lo/hi the (du, dv) = (d_u/d_a, d_v/d_a) extremes per dominant
+    axis-and-sign group.  The host fetches ~100 bytes instead of the
+    full (N,3) direction array (24 MB at 1080p through the tunnel)."""
+    ax = jnp.argmax(jnp.abs(dirs), axis=-1)
+    d_a = jnp.take_along_axis(dirs, ax[:, None], -1)[:, 0]
+    g = ax * 2 + (d_a < 0)
+    du = jnp.take_along_axis(dirs, ((ax + 1) % 3)[:, None], -1)[:, 0] / d_a
+    dv = jnp.take_along_axis(dirs, ((ax + 2) % 3)[:, None], -1)[:, 0] / d_a
+    onehot = jax.nn.one_hot(g, 6, dtype=jnp.bool_)          # (N, 6)
+    counts = onehot.sum(0)
+    duv = jnp.stack([du, dv], -1)                            # (N, 2)
+    big = jnp.float32(1e9)
+    sel = onehot[..., None]                                  # (N, 6, 1)
+    lo = jnp.min(jnp.where(sel, duv[:, None, :], big), axis=0)
+    hi = jnp.max(jnp.where(sel, duv[:, None, :], -big), axis=0)
+    return counts, lo, hi
+
+
 @functools.partial(jax.jit,
                    static_argnames=("B0", "Bo", "n_groups", "nc"))
 def _warp_composite(dirs, eye, outer_pk, l_pk, zb_tab, win_lo_tab,
@@ -572,7 +593,8 @@ def render_frame(
     F_{nc−1} … F_1, L0, B_1 … B_{nc−1} (exact depth order: inner
     regions of outer volumes are zeroed at bake)."""
     eye = np.asarray(eye, np.float32)
-    dirs_np = np.asarray(dirs, np.float32)
+    dirs_d = dirs if isinstance(dirs, jax.Array) else jnp.asarray(
+        np.asarray(dirs, np.float32))
     nc = dvols.n_cascades
     # merge_layers: all 2·nc−1 cascade layers are epipolar-merged onto
     # the innermost (finest, nearest) baseplane per group BEFORE the
@@ -583,10 +605,9 @@ def render_frame(
     n_layers = 1 if merge_layers else 2 * nc - 1
     mid = 0 if merge_layers else nc - 1
 
-    ax = np.argmax(np.abs(dirs_np), axis=-1)
-    d_a = np.take_along_axis(dirs_np, ax[:, None], -1)[:, 0]
-    g_np = ax * 2 + (d_a < 0)
-    groups = np.unique(g_np)
+    counts, duv_lo, duv_hi = (np.asarray(x)
+                              for x in _group_stats(dirs_d))
+    groups = np.nonzero(counts > 0)[0]
 
     # device-side transposed volumes, built once per frame per axis used
     vol_t = {}
@@ -615,18 +636,21 @@ def render_frame(
         perm = _PERMS[a]
         e_p = eye[list(perm)]
         e_d = jnp.asarray(e_p)
-        mask = g_np == g
-        du = dirs_np[mask][:, perm[1]] / dirs_np[mask][:, perm[0]]
-        dv = dirs_np[mask][:, perm[2]] / dirs_np[mask][:, perm[0]]
+        dlo, dhi = duv_lo[g], duv_hi[g]  # (du, dv) extremes, this group
 
         def footprint(z_b, dz):
-            """Group ray footprint on plane z_b (± a 2-voxel pad)."""
+            """Group ray footprint on plane z_b (± a 2-voxel pad),
+            from the device-reduced (du, dv) extremes: u on the plane
+            is e_u + du·(z_b − e_a), monotone in du, so the group's
+            extremes give the exact window."""
             s = z_b - e_p[0]
-            u0 = e_p[1] + du * s
-            v0 = e_p[2] + dv * s
+            us = np.float32([dlo[0] * s, dhi[0] * s])
+            vs = np.float32([dlo[1] * s, dhi[1] * s])
             pad = 2 * dz
-            wlo = np.float32([u0.min() - pad, v0.min() - pad])
-            whi = np.float32([u0.max() + pad, v0.max() + pad])
+            wlo = np.float32([e_p[1] + us.min() - pad,
+                              e_p[2] + vs.min() - pad])
+            whi = np.float32([e_p[1] + us.max() + pad,
+                              e_p[2] + vs.max() + pad])
             return wlo, np.maximum(whi, wlo + 1e-4)
 
         per_cascade = []  # (front, back, z_near, wlo, whi) MERGED
@@ -713,7 +737,7 @@ def render_frame(
     outer_pk = (quad_pack(outer_dev) if outer_dev is not None
                 else jnp.zeros((1, 4 * LAYER_CH), jnp.bfloat16))
     return _warp_composite(
-        jnp.asarray(dirs_np), jnp.asarray(eye), outer_pk, l_pk,
+        dirs_d, jnp.asarray(eye), outer_pk, l_pk,
         jnp.asarray(zb_tab), jnp.asarray(win_lo_tab),
         jnp.asarray(win_hi_tab), jnp.asarray(background, jnp.float32),
         B0=B0, Bo=Bo, n_groups=6, nc=1 if merge_layers else nc)

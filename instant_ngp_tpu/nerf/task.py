@@ -1544,7 +1544,9 @@ class NerfTask:
             jnp.asarray(principal_point, jnp.float32),
             jnp.asarray(xform))
         B0 = 512 if max(width, height) <= 640 else 1024
-        out = _slab.render_frame(dvols, eye, np.asarray(d),
+        # d stays ON DEVICE: render_frame plans from a ~100-byte
+        # device-reduced summary, not the (N,3) array (24 MB at 1080p)
+        out = _slab.render_frame(dvols, eye, d,
                                  background=np.asarray(background,
                                                        np.float32),
                                  B0=B0, Bo=B0 // 2)
