@@ -1550,11 +1550,13 @@ class NerfTask:
                                  background=np.asarray(background,
                                                        np.float32),
                                  B0=B0, Bo=B0 // 2)
-        out = np.asarray(out)[:n]
-        img = np.concatenate([out[:, :4]], -1).reshape(height, width, 4)
+        # slice on DEVICE before the host copy: the pad rows and (when
+        # unused) the depth channel never cross the tunnel
         if return_depth:
+            out = np.asarray(out[:n, :5])
+            img = out[:, :4].reshape(height, width, 4)
             return img, out[:, 4].reshape(height, width)
-        return img
+        return np.asarray(out[:n, :4]).reshape(height, width, 4)
 
     def _march_window(self, grid_bits, o, d, t, alive, tmax, window=None,
                       dt_scale=1.0):
