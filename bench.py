@@ -236,7 +236,7 @@ def bench_fox():
         with _alarm(900):
             v = int(views[0])
             t0 = time.time()
-            task._get_slab()
+            task._get_slab(eye=np.asarray(ds.xforms_start[v])[:, 3])
             extras["render_mrays_per_s"]["slab_bake_s"] = round(
                 time.time() - t0, 2)
             extras["render_mrays_per_s"]["slab"] = rays_per_s("slab")

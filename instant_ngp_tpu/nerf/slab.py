@@ -65,18 +65,71 @@ LAYER_CH = 5
 
 @dataclasses.dataclass
 class DenseVolumes:
-    """Per-cascade dense activated field: volumes[m] is (n_m,n_m,n_m,4)
-    bf16 [r,g,b,sigma] at voxel centers; cascade m spans the scene-space
-    cube centered at 0.5 with half-extent 2^(m-1) (m=0: [0,1]^3)."""
+    """Nested dense activated field levels: volumes[m] is (n_m,n_m,n_m,4)
+    bf16 [r,g,b,sigma] at voxel centers.  Level m covers the world-space
+    box boxes[m] (boxes[m-1] strictly inside boxes[m]).  When boxes is
+    None the levels default to the scene-centered NGP cascade extents
+    (cube centered at 0.5 with half-extent 2^(m-1)).
+
+    For inside-out captures (fox: cameras INSIDE the scene, subject
+    right in front of each camera but outside the unit cube) the
+    scene-centered pyramid puts the on-screen subject at the COARSE
+    levels — an eye-centered clipmap (task._get_slab) allocates fine
+    voxels by proximity instead, like the exact renderer's cone-rate
+    sampling."""
 
     volumes: list  # of jax arrays
     res: list      # of ints n_m
     n_cascades: int
+    boxes: np.ndarray | None = None  # (nc, 2, 3) world [lo, hi]
+    vt_cache: dict | None = None     # axis → transposed volumes (lazy)
+
+    def box(self, m: int):
+        if self.boxes is not None:
+            return (np.asarray(self.boxes[m][0], np.float32),
+                    np.asarray(self.boxes[m][1], np.float32))
+        lo, hi = cascade_extent(m)
+        return np.full(3, lo, np.float32), np.full(3, hi, np.float32)
 
 
 def cascade_extent(m: int):
     half = 0.5 * (2.0 ** m)
     return 0.5 - half, 0.5 + half
+
+
+def clipmap_boxes(eye, aabb_min, aabb_max, finest_extent: float = 0.25,
+                  ) -> np.ndarray:
+    """Eye-centered nested clipmap boxes, extents geometric ×2 from
+    `finest_extent` up to the scene AABB (the outermost box), each
+    centered as close to the eye as nesting inside its parent allows.
+
+    The finest extent bounds the renderer's angular resolution: level
+    content sits at distance ≥ extent/4 from the eye, so a level's
+    angular voxel size is ~4/res rad regardless of extent — but only
+    down to the finest box, whose interior content (distance <
+    finest_extent/4) is undersampled.  0.25 puts that horizon at ~0.06
+    world units — closer than any fox training camera gets to content.
+    Centers snap to an extent/8 lattice so small camera motion reuses a
+    cached bake."""
+    aabb_min = np.asarray(aabb_min, np.float32)
+    aabb_max = np.asarray(aabb_max, np.float32)
+    eye = np.asarray(eye, np.float32)
+    outer_extent = float(np.max(aabb_max - aabb_min))
+    n_levels = max(1, int(np.round(np.log2(outer_extent / finest_extent)))
+                   + 1)
+    boxes = np.zeros((n_levels, 2, 3), np.float32)
+    boxes[n_levels - 1, 0] = aabb_min
+    boxes[n_levels - 1, 1] = aabb_max
+    for m in range(n_levels - 2, -1, -1):
+        half = 0.5 * finest_extent * (2.0 ** m)
+        quantum = max(finest_extent * 2.0 ** m / 8.0, 1e-3)
+        lo_p, hi_p = boxes[m + 1]
+        c = np.clip(eye, lo_p + half, hi_p - half)
+        c = np.round(c / quantum) * quantum
+        c = np.clip(c, lo_p + half, hi_p - half)  # snap can violate
+        boxes[m, 0] = c - half
+        boxes[m, 1] = c + half
+    return boxes
 
 
 def bake_dense(
@@ -94,6 +147,7 @@ def bake_dense(
     chunk: int = 1 << 19,
     bricks=None,
     eval_fn=None,
+    boxes: np.ndarray | None = None,
 ) -> DenseVolumes:
     """Bake the model into dense per-cascade volumes.
 
@@ -106,30 +160,57 @@ def bake_dense(
     aabb_max = np.asarray(aabb_max, np.float32)
     if eval_fn is None:
         eval_fn = make_voxel_eval(model, rgb_activation, density_activation)
+    bitfield = np.asarray(bitfield)
+    Gb = bitfield.shape[1]
+    max_mip = n_cascades - 1
+    # boxes may define MORE levels than scene cascades (an eye-centered
+    # clipmap refines below the unit cube); occupancy always probes the
+    # scene-cascade bitfield of the position
+    n_levels = len(boxes) if boxes is not None else n_cascades
 
-    def occ_at(occ, n):
-        if n >= occ.shape[0]:
-            # nearest-cell upsample (exact: each fine voxel tests its
-            # containing occupancy cell; works for non-multiples too)
-            idx = np.arange(n) * occ.shape[0] // n
-            return occ[np.ix_(idx, idx, idx)]
-        f = occ.shape[0] // n
-        return occ.reshape(n, f, n, f, n, f).any((1, 3, 5))
+    def occupied_np(P):
+        """Numpy replica of occupancy.occupied_at ∘ raymarch.mip_from_pos:
+        a world position is occupied iff its SCENE cascade's bitfield
+        cell is set — level boxes may be eye-centered, the training
+        grid stays scene-centered."""
+        maxval = np.max(np.abs(P - 0.5), axis=-1)
+        mip = np.clip(np.frexp(np.maximum(maxval, 1e-30))[1] + 1, 0,
+                      max_mip)
+        pm = (P - 0.5) * np.exp2(-mip)[:, None] + 0.5
+        i = np.floor(pm * Gb).astype(np.int32)
+        inb = ((i >= 0) & (i < Gb)).all(-1)
+        i = np.clip(i, 0, Gb - 1)
+        return bitfield[mip, i[:, 0], i[:, 1], i[:, 2]] & inb
 
     volumes, res_list = [], []
-    for m in range(n_cascades):
+    for m in range(n_levels):
         n = res0 if m == 0 else res_outer
-        occ = occ_at(np.asarray(bitfield[m]), n)
+        if boxes is None:
+            lo_c, hi_c = cascade_extent(m)
+            box_lo = np.full(3, lo_c, np.float32)
+            box_hi = np.full(3, hi_c, np.float32)
+        else:
+            box_lo = np.asarray(boxes[m][0], np.float32)
+            box_hi = np.asarray(boxes[m][1], np.float32)
+        cs = [box_lo[a] + (np.arange(n, dtype=np.float32) + 0.5) / n
+              * (box_hi[a] - box_lo[a]) for a in range(3)]
+        P = np.stack(np.meshgrid(*cs, indexing="ij"), -1).reshape(-1, 3)
+        occ = occupied_np(P)
         if m > 0:
-            # zero the inner-cascade region (centers strictly inside
-            # the previous cascade): cascade m-1 spans the middle half
-            # of cascade m's extent in each axis
-            c = np.arange(n, dtype=np.float32)
-            centers = (c + 0.5) / n  # mip-m unit coords
-            inner = (centers > 0.25) & (centers < 0.75)
-            occ = occ & ~(inner[:, None, None] & inner[None, :, None]
-                          & inner[None, None, :])
-        ijk = np.argwhere(occ).astype(np.int32)
+            # zero voxels whose centers lie inside the next-inner box:
+            # the finer level owns them, so the nested F/B composite
+            # never double-counts
+            if boxes is None:
+                ilo_c, ihi_c = cascade_extent(m - 1)
+                ilo = np.full(3, ilo_c, np.float32)
+                ihi = np.full(3, ihi_c, np.float32)
+            else:
+                ilo = np.asarray(boxes[m - 1][0], np.float32)
+                ihi = np.asarray(boxes[m - 1][1], np.float32)
+            occ &= ~((P > ilo) & (P < ihi)).all(-1)
+        ijk = np.stack(np.unravel_index(np.flatnonzero(occ), (n, n, n)),
+                       -1).astype(np.int32)
+        del P, occ
         # one overflow row at the end: padded chunk rows scatter there,
         # keeping the whole bake ON DEVICE (the old host round-trip
         # fetched ~100 MB of evals through the tunnel per bake)
@@ -147,16 +228,18 @@ def bake_dense(
                         if origin is not None
                         else jnp.asarray(FIXED_BAKE_DIR))
             aabb = (jnp.asarray(aabb_min), jnp.asarray(aabb_max))
+            box_lo_d = jnp.asarray(box_lo)
+            box_size_d = jnp.asarray(box_hi - box_lo)
             for s in range(0, n_chunks * chunk, chunk):
                 vals = eval_fn(params, bricks, ijk_d[s : s + chunk],
-                               jnp.int32(m), jnp.int32(n), aabb, origin_d,
-                               origin is not None)
+                               box_lo_d, box_size_d, jnp.int32(n), aabb,
+                               origin_d, origin is not None)
                 vol = vol.at[flat_d[s : s + chunk]].set(
                     vals.astype(jnp.bfloat16))
         volumes.append(vol[: n * n * n].reshape(n, n, n, 4))
         res_list.append(n)
     return DenseVolumes(volumes=volumes, res=res_list,
-                        n_cascades=n_cascades)
+                        n_cascades=n_levels, boxes=boxes)
 
 
 FIXED_BAKE_DIR = np.float32([0.5774, 0.5774, 0.5774])
@@ -171,8 +254,9 @@ _SIGMA_TAPS = np.float32([
 
 
 def make_voxel_eval(model, rgb_activation, density_activation):
-    """Jitted voxel-center evaluator: (C,3) int cells of cascade m at
-    resolution n → (C,4) activated [r,g,b,sigma_eff].
+    """Jitted voxel-center evaluator: (C,3) int cells of the level box
+    [box_lo, box_lo+box_size] at resolution n → (C,4) activated
+    [r,g,b,sigma_eff].
 
     sigma_eff is TRANSMITTANCE-corrected: the slab renderer integrates
     at one sample per voxel (dz = the voxel size), 4-8× coarser than
@@ -183,14 +267,12 @@ def make_voxel_eval(model, rgb_activation, density_activation):
     taps + the center so one coarse step reproduces the voxel's true
     mean transmittance."""
 
-    @functools.partial(jax.jit, static_argnums=(7,))
-    def eval_chunk(params, bricks, cells, mip, n, aabb, origin_or_dir,
-                   use_origin: bool):
+    @functools.partial(jax.jit, static_argnums=(8,))
+    def eval_chunk(params, bricks, cells, box_lo, box_size, n, aabb,
+                   origin_or_dir, use_origin: bool):
         aabb_min, aabb_max = aabb
         nf = n.astype(jnp.float32)
-        unit = (cells.astype(jnp.float32) + 0.5) / nf
-        scale = jnp.exp2(mip.astype(jnp.float32))
-        world = (unit - 0.5) * scale + 0.5
+        world = box_lo + (cells.astype(jnp.float32) + 0.5) / nf * box_size
         pos_w = (world - aabb_min) / (aabb_max - aabb_min)
         if use_origin:
             d = world - origin_or_dir
@@ -203,11 +285,11 @@ def make_voxel_eval(model, rgb_activation, density_activation):
         sigma_c = network_to_density(out[:, 3].astype(jnp.float32),
                                      density_activation)
         # sub-voxel density taps (density-only path: no dir encoding)
-        dz = scale / nf  # voxel size in scene units
+        dz = box_size[0] / nf  # voxel size in scene units (cubical box)
         sigmas = [sigma_c]
         for tap in _SIGMA_TAPS:
-            unit_t = (cells.astype(jnp.float32) + 0.5 + jnp.asarray(tap)) / nf
-            world_t = (unit_t - 0.5) * scale + 0.5
+            world_t = box_lo + (cells.astype(jnp.float32) + 0.5
+                                + jnp.asarray(tap)) / nf * box_size
             pos_t = (world_t - aabb_min) / (aabb_max - aabb_min)
             logit = model.density(params, pos_t, bricks=bricks)[:, 0]
             sigmas.append(network_to_density(
@@ -528,6 +610,104 @@ def _warp_composite(dirs, eye, outer_pk, l_pk, zb_tab, win_lo_tab,
     return jnp.concatenate([rgb, alpha[:, None], out[..., 4:5]], -1)
 
 
+def static_ladder(n: int) -> tuple:
+    """Octave lengths (8, 8, 16, 32, …) until they cover n slabs —
+    eye-INDEPENDENT, so a fused sweep compiled for this ladder serves
+    every camera (out-of-range slabs are masked inside the kernel)."""
+    out, c, length = [], 0, 8
+    while c < n:
+        out.append(length)
+        c += length
+        if len(out) >= 2:
+            length *= 2
+    return tuple(out)
+
+
+@functools.partial(jax.jit, static_argnames=("specs", "B0", "Bo"))
+def sweep_group_merged(
+    vols_t,      # tuple of nc (n_m,n_m,n_m,4) bf16, axis 0 = sweep axis
+    e_p,         # (3,) eye, permuted coords
+    sign,        # f32 ±1
+    boxes_p,     # (nc, 2, 3) f32 level boxes, permuted coords
+    k0s,         # (nc,) i32 index of first slab ahead of the eye
+    duv_lo,      # (2,) group (du, dv) extremes
+    duv_hi,      # (2,)
+    *,
+    specs: tuple,   # ((n_m, ladder_m), ...) — static per volume config
+    B0: int,
+    Bo: int,
+):
+    """ONE dispatch per (frame, group): sweeps every level's full
+    static octave ladder, merges octaves far→near per level, folds the
+    per-level F/B layers onto the innermost baseplane, and returns
+    (layer (B0,B0,LAYER_CH), z0, wlo0 (2,), whi0 (2,)).
+
+    The multi-dispatch orchestration (~130 dispatches/frame) was
+    latency-bound through the tunneled device (measured 29.5 s/frame at
+    1080p); every per-octave quantity here is a traced SCALAR, so one
+    compiled program serves all cameras."""
+    f32 = jnp.float32
+    nc = len(specs)
+    inf3 = jnp.full((3,), jnp.inf, f32)
+
+    def footprint(z_b, dz):
+        s = z_b - e_p[0]
+        us = jnp.stack([duv_lo[0] * s, duv_hi[0] * s])
+        vs = jnp.stack([duv_lo[1] * s, duv_hi[1] * s])
+        pad = 2 * dz
+        wlo = jnp.stack([e_p[1] + jnp.min(us) - pad,
+                         e_p[2] + jnp.min(vs) - pad])
+        whi = jnp.stack([e_p[1] + jnp.max(us) + pad,
+                         e_p[2] + jnp.max(vs) + pad])
+        return wlo, jnp.maximum(whi, wlo + 1e-4)
+
+    per_level = []
+    for m, (n, ladder) in enumerate(specs):
+        blo_p, bhi_p = boxes_p[m, 0], boxes_p[m, 1]
+        dz = (bhi_p[0] - blo_p[0]) / n
+        ilo = boxes_p[m - 1, 0] if m > 0 else inf3
+        ihi = boxes_p[m - 1, 1] if m > 0 else inf3
+        B = B0 if m == 0 else Bo
+        sgn_i = jnp.where(sign > 0, 1, -1).astype(jnp.int32)
+        merged = None  # (front, back, z_b, wlo, whi), far→near fold
+        off = 0
+        plans = []
+        for L in ladder:
+            k_first = k0s[m] + sgn_i * off
+            k_last = off + L - 1
+            z_base = jnp.where(
+                sign > 0,
+                blo_p[0] + (k0s[m].astype(f32) + k_last + 1) * dz,
+                blo_p[0] + (k0s[m].astype(f32) - k_last) * dz)
+            plans.append((k_first, L, z_base))
+            off += L
+        for k_first, L, z_b in reversed(plans):
+            wlo, whi = footprint(z_b, dz)
+            front, back = sweep_octave(
+                vols_t[m], e_p, sign, blo_p, bhi_p, k_first, z_b,
+                wlo, whi, ilo, ihi, n=n, B=B, L=L)
+            if merged is None:
+                merged = (front, back, z_b, wlo, whi)
+                continue
+            mf, mb, z_far, lo_far, hi_far = merged
+            args = (e_p, z_far, lo_far, hi_far, z_b, wlo, whi)
+            mf = resample_layer(mf, *args, B_out=B)
+            mb = resample_layer(mb, *args, B_out=B)
+            merged = (composite_layers(front, mf),
+                      composite_layers(back, mb), z_b, wlo, whi)
+        per_level.append(merged)
+
+    f0, b0, z0, wlo0, whi0 = per_level[0]
+    layer = composite_layers(f0, b0)
+    for m in range(1, nc):
+        fm, bm, zm, wlom, whim = per_level[m]
+        args = (e_p, zm, wlom, whim, z0, wlo0, whi0)
+        fm = resample_layer(fm, *args, B_out=B0)
+        bm = resample_layer(bm, *args, B_out=B0)
+        layer = composite_layers(fm, composite_layers(layer, bm))
+    return layer, z0, wlo0, whi0
+
+
 def _plan_octaves(e_p0, n, lo, hi, sign):
     """Partition one (group, cascade) sweep into depth OCTAVES (host
     planning, all floats local).
@@ -572,6 +752,84 @@ def _plan_octaves(e_p0, n, lo, hi, sign):
     return out
 
 
+def _host_k0(e0: float, n: int, lo: float, hi: float, sign: float) -> int:
+    """First slab index at-or-ahead of the eye along the sweep axis
+    (host mirror of the kernel's masking conventions)."""
+    dz = (hi - lo) / n
+    if sign > 0:
+        k0 = int(np.ceil((e0 + 0.49 * dz - lo) / dz - 0.5))
+        return int(np.clip(max(k0, 0), -1, n))
+    k0 = int(np.floor((e0 - 0.49 * dz - lo) / dz - 0.5))
+    return int(np.clip(min(k0, n - 1), -1, n))
+
+
+def _render_fused(dvols, eye, dirs_d, groups, duv_lo, duv_hi, vol_t,
+                  background, B0, Bo):
+    """Fused-path frame: ONE sweep_group_merged dispatch per present
+    group + one warp. All per-octave planning is either static (the
+    ladder) or traced scalars, so every camera shares the compiled
+    programs."""
+    nc = dvols.n_cascades
+    specs = tuple((dvols.res[m], static_ladder(dvols.res[m]))
+                  for m in range(nc))
+    zb_tab = np.zeros((6, 1), np.float32)
+    win_lo_tab = np.ones((6, 1, 2), np.float32)
+    win_hi_tab = np.full((6, 1, 2), 2.0, np.float32)  # degenerate
+    empty = None
+    layers = {}
+    for g in groups:
+        g = int(g)
+        a, sgn = g // 2, (-1.0 if g % 2 else 1.0)
+        perm = _PERMS[a]
+        e_p = eye[list(perm)]
+        boxes_p = np.zeros((nc, 2, 3), np.float32)
+        k0s = np.zeros(nc, np.int32)
+        for m in range(nc):
+            blo, bhi = dvols.box(m)
+            boxes_p[m, 0] = blo[list(perm)]
+            boxes_p[m, 1] = bhi[list(perm)]
+            k0s[m] = _host_k0(float(e_p[0]), dvols.res[m],
+                              float(boxes_p[m, 0, 0]),
+                              float(boxes_p[m, 1, 0]), sgn)
+        dlo, dhi = duv_lo[g], duv_hi[g]
+        layer, _, _, _ = sweep_group_merged(
+            tuple(vol_t[a]), jnp.asarray(e_p), jnp.float32(sgn),
+            jnp.asarray(boxes_p), jnp.asarray(k0s), jnp.asarray(dlo),
+            jnp.asarray(dhi), specs=specs, B0=B0, Bo=Bo)
+        layers[g] = layer
+        # host mirror of the level-0 first-octave baseplane + window
+        n0 = dvols.res[0]
+        lo0, hi0 = float(boxes_p[0, 0, 0]), float(boxes_p[0, 1, 0])
+        dz0 = (hi0 - lo0) / n0
+        L0 = specs[0][1][0]
+        if sgn > 0:
+            z0 = lo0 + (k0s[0] + L0) * dz0
+        else:
+            z0 = lo0 + (k0s[0] - (L0 - 1)) * dz0
+        s = z0 - float(e_p[0])
+        us = np.float32([dlo[0] * s, dhi[0] * s])
+        vs = np.float32([dlo[1] * s, dhi[1] * s])
+        pad = 2 * dz0
+        wlo = np.float32([e_p[1] + us.min() - pad, e_p[2] + vs.min() - pad])
+        whi = np.float32([e_p[1] + us.max() + pad, e_p[2] + vs.max() + pad])
+        whi = np.maximum(whi, wlo + 1e-4)
+        zb_tab[g, 0] = z0
+        win_lo_tab[g, 0] = wlo
+        win_hi_tab[g, 0] = whi
+    if empty is None:
+        empty = jnp.broadcast_to(
+            jnp.zeros((LAYER_CH,), jnp.float32).at[3].set(1.0),
+            (B0, B0, LAYER_CH))
+    l_dev = jnp.stack([layers.get(g, empty) for g in range(6)])
+    l_pk = quad_pack(l_dev)
+    outer_pk = jnp.zeros((1, 4 * LAYER_CH), jnp.bfloat16)
+    return _warp_composite(
+        dirs_d, jnp.asarray(eye), outer_pk, l_pk, jnp.asarray(zb_tab),
+        jnp.asarray(win_lo_tab), jnp.asarray(win_hi_tab),
+        jnp.asarray(np.asarray(background, np.float32)),
+        B0=B0, Bo=Bo, n_groups=6, nc=1)
+
+
 def render_frame(
     dvols: DenseVolumes,
     eye,
@@ -609,14 +867,21 @@ def render_frame(
                               for x in _group_stats(dirs_d))
     groups = np.nonzero(counts > 0)[0]
 
-    # device-side transposed volumes, built once per frame per axis used
-    vol_t = {}
+    # device-side transposed volumes, cached on the bake (one transpose
+    # per axis per BAKE, not per frame)
+    if dvols.vt_cache is None:
+        dvols.vt_cache = {}
+    vol_t = dvols.vt_cache
     for g in groups:
         a = g // 2
         if a not in vol_t:
             perm = _PERMS[a]
             vol_t[a] = [jnp.transpose(dvols.volumes[m], perm + (3,))
                         for m in range(nc)]
+
+    if merge_layers:
+        return _render_fused(dvols, eye, dirs_d, groups, duv_lo, duv_hi,
+                             vol_t, background, B0, Bo)
 
     zb_tab = np.zeros((6, n_layers), np.float32)
     win_lo_tab = np.ones((6, n_layers, 2), np.float32)
@@ -656,14 +921,17 @@ def render_frame(
         per_cascade = []  # (front, back, z_near, wlo, whi) MERGED
         for m in range(nc):
             n = dvols.res[m]
-            lo, hi = cascade_extent(m)
+            box_lo, box_hi = dvols.box(m)
+            blo_p = box_lo[list(perm)]
+            bhi_p = box_hi[list(perm)]
+            lo, hi = float(blo_p[0]), float(bhi_p[0])  # sweep-axis extent
             dz = (hi - lo) / n
             if m == 0:
                 ilo, ihi = inf3, inf3  # miss → everything in front
             else:
-                l_in, h_in = cascade_extent(m - 1)
-                ilo = np.full(3, l_in, np.float32)
-                ihi = np.full(3, h_in, np.float32)
+                in_lo, in_hi = dvols.box(m - 1)
+                ilo = in_lo[list(perm)]
+                ihi = in_hi[list(perm)]
             B = B0 if m == 0 else Bo
             octs = _plan_octaves(float(e_p[0]), n, lo, hi, sgn)
             merged = None  # (front, back, z_b, wlo, whi), far→near fold
@@ -671,8 +939,7 @@ def render_frame(
                 wlo, whi = footprint(z_b, dz)
                 front, back = sweep_octave(
                     vol_t[a][m], e_d, jnp.float32(sgn),
-                    jnp.asarray(np.full(3, lo, np.float32)),
-                    jnp.asarray(np.full(3, hi, np.float32)),
+                    jnp.asarray(blo_p), jnp.asarray(bhi_p),
                     jnp.int32(k_first), jnp.float32(z_b),
                     jnp.asarray(wlo), jnp.asarray(whi),
                     jnp.asarray(ilo), jnp.asarray(ihi), n=n, B=B, L=L)

@@ -404,6 +404,10 @@ class NerfTask:
         # finest — 192³ halves their voxel blur vs the 128³ occupancy
         # grid for ~3× the outer bake cost
         self.slab_res_outer = 192
+        # eye-centered clipmap: finest level extent in world units —
+        # bounds how close to the camera content stays sharp
+        # (slab.clipmap_boxes)
+        self.slab_finest_extent = 0.25
         self.slab_bake_view_dependent = False
         # render-space controls (reference render_aabb crop box
         # testbed.h:708, near distance, DoF aperture/focus
@@ -1492,17 +1496,29 @@ class NerfTask:
         self._baked_cache = (key, cache)
         return cache
 
-    def _get_slab(self, origin=None):
+    def _get_slab(self, origin=None, eye=None):
         """Per-step dense-volume bake cache for the slab-sweep renderer
         (nerf/slab.py). Diffuse by default so orbit/video renders reuse
-        one bake; set slab_bake_view_dependent for per-frame bakes."""
+        one bake; set slab_bake_view_dependent for per-frame bakes.
+
+        Levels are an EYE-CENTERED clipmap (slab.clipmap_boxes): for
+        inside-out captures (fox) the on-screen subject sits outside
+        the unit cube, so scene-centered cascades would quantize it at
+        the coarse levels (measured 16× blur, round 4). Box centers
+        snap to a 0.25 lattice so orbiting cameras re-use a bake until
+        they move ~a quarter unit."""
         from . import slab as _slab
 
         if not self.slab_bake_view_dependent:
             origin = None
+        boxes = None
+        if eye is not None and self.max_cascade > 0:
+            boxes = _slab.clipmap_boxes(eye, self.aabb_min, self.aabb_max,
+                                        finest_extent=self.slab_finest_extent)
         key = (self.training_step, self.slab_res0, self.slab_res_outer,
                None if origin is None else
-               tuple(np.round(np.asarray(origin, np.float64), 4).tolist()))
+               tuple(np.round(np.asarray(origin, np.float64), 4).tolist()),
+               None if boxes is None else boxes.tobytes())
         c = self._slab_cache
         if c is not None and c[0] == key:
             return c[1]
@@ -1517,7 +1533,8 @@ class NerfTask:
             self.rgb_activation, self.density_activation,
             origin=origin, res0=self.slab_res0,
             res_outer=self.slab_res_outer,
-            bricks=self._get_bricks(params), eval_fn=self._voxel_eval)
+            bricks=self._get_bricks(params), eval_fn=self._voxel_eval,
+            boxes=boxes)
         self._slab_cache = (key, dvols)
         return dvols
 
@@ -1529,7 +1546,7 @@ class NerfTask:
         from . import slab as _slab
 
         eye = xform[:, 3]
-        dvols = self._get_slab(origin=eye)
+        dvols = self._get_slab(origin=eye, eye=eye)
         n = width * height
         n_pad = max(1024, 1 << int(math.ceil(math.log2(n))))
         ys, xs = np.meshgrid(np.arange(height), np.arange(width),

@@ -53,7 +53,7 @@ def main():
 
     log("baking dense volumes...")
     t0 = time.time()
-    dvols = task._get_slab()
+    dvols = task._get_slab(eye=xform[:, 3])
     out["bake_s"] = round(time.time() - t0, 2)
     log(f"bake done in {out['bake_s']}s")
     out["res"] = dvols.res

@@ -79,9 +79,9 @@ def _brute_force(vols, eye, dirs, n_steps=3000):
              for v in vols.volumes]
 
     def field(p):
-        # finest cascade containing p
+        # finest level containing p
         for m in range(nc):
-            lo, hi = S.cascade_extent(m)
+            lo, hi = vols.box(m)
             if np.all(p >= lo) and np.all(p <= hi):
                 n = vols.res[m]
                 u = (p - lo) / (hi - lo) * n - 0.5
@@ -98,7 +98,7 @@ def _brute_force(vols, eye, dirs, n_steps=3000):
         return np.zeros(4)
 
     out = []
-    loM, hiM = S.cascade_extent(nc - 1)
+    loM, hiM = vols.box(nc - 1)
     for d in np.asarray(dirs, np.float64):
         # clip to outer box
         inv = 1.0 / np.where(np.abs(d) < 1e-12, 1e-12, d)
@@ -243,6 +243,63 @@ def test_eye_inside_outer_cascade_matches_brute_force():
     # eye INSIDE cascade 1 ([-0.5, 1.5]^3) but outside cascade 0
     eye = np.float32([0.5, 0.45, -0.35])
     dirs = _camera_dirs(eye, [0.6, 0.5, 0.6], n=7, fov_deg=50)
+    got = np.asarray(S.render_frame(dv, eye, dirs, B0=96, Bo=96))
+    ref = _brute_force(dv, eye, dirs)
+    assert np.abs(got[:, :3] - ref[:, :3]).max() < 0.08
+    assert np.abs(got[:, 3] - (1 - ref[:, 3])).max() < 0.08
+
+
+def test_clipmap_boxes_nested_and_quantized():
+    aabb_min, aabb_max = np.float32([-1.5] * 3), np.float32([2.5] * 3)
+    eye = np.float32([-1.31, 0.18, 1.55])
+    boxes = S.clipmap_boxes(eye, aabb_min, aabb_max, finest_extent=1.0)
+    assert len(boxes) == 3
+    assert np.allclose(boxes[2, 0], aabb_min)
+    assert np.allclose(boxes[2, 1], aabb_max)
+    for m in range(2):
+        # strict nesting + correct size
+        assert np.all(boxes[m, 0] >= boxes[m + 1, 0] - 1e-6)
+        assert np.all(boxes[m, 1] <= boxes[m + 1, 1] + 1e-6)
+        assert np.allclose(boxes[m, 1] - boxes[m, 0], 2.0 ** m)
+        # snapped centers ⇒ small eye motion reuses the bake
+        q = 2.0 ** m / 8.0
+        c = (boxes[m, 0] + boxes[m, 1]) / 2
+        assert np.allclose(c / q, np.round(c / q), atol=1e-4)
+    b2 = S.clipmap_boxes(eye + 0.005, aabb_min, aabb_max,
+                         finest_extent=1.0)
+    assert np.allclose(boxes, b2)
+    # default finest extent 0.25 ⇒ five levels for a 4-unit scene
+    b5 = S.clipmap_boxes(eye, aabb_min, aabb_max)
+    assert len(b5) == 5
+    assert np.allclose(b5[0, 1] - b5[0, 0], 0.25)
+
+
+def test_eye_centered_boxes_match_brute_force():
+    """Clipmap levels (eye-centered, shifted boxes) agree with brute
+    force — the round-4 fox fix: fine voxels follow the camera, not the
+    scene center."""
+    aabb_min, aabb_max = np.float32([-1.5] * 3), np.float32([2.5] * 3)
+    eye = np.float32([-0.9, 0.6, 0.4])
+    boxes = S.clipmap_boxes(eye, aabb_min, aabb_max, finest_extent=1.0)
+    n = 32
+    vols = []
+    rng = np.random.default_rng(3)
+    for m in range(3):
+        lo, hi = boxes[m]
+        v = _smooth_blob(n, (0.5, 0.5, 0.5), 0.3, 20.0 / 2.0 ** m,
+                         (0.8 / (m + 1), 0.3 * (m + 1) / 3, 0.5))
+        # blob coords above are in box-unit space already (box() maps)
+        if m > 0:
+            ilo, ihi = boxes[m - 1]
+            c = [lo[a] + (np.arange(n) + 0.5) / n * (hi[a] - lo[a])
+                 for a in range(3)]
+            P = np.stack(np.meshgrid(*c, indexing="ij"), -1)
+            inner = ((P > ilo) & (P < ihi)).all(-1)
+            v[inner] = 0.0
+        vols.append(jnp.asarray(v, jnp.bfloat16))
+    dv = S.DenseVolumes(volumes=vols, res=[n] * 3, n_cascades=3,
+                        boxes=boxes)
+    dirs = _camera_dirs(eye, [0.2, 0.4, 0.5], n=7, fov_deg=55)
     got = np.asarray(S.render_frame(dv, eye, dirs, B0=96, Bo=96))
     ref = _brute_force(dv, eye, dirs)
     assert np.abs(got[:, :3] - ref[:, :3]).max() < 0.08
