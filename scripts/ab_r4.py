@@ -57,7 +57,13 @@ def eval_psnr(task):
 def make_task(arm):
     cfg = load_network_config("base.json", mode="nerf")
     cfg.setdefault("encoding", {})["interpolation"] = "Simplex"
-    if "decay" in arm:
+    if arm == "basedecay":
+        # base config + LR decay sized to the 240 s budget (~1536
+        # steps): lr × 0.33^((step-768)/512) ⇒ ~0.19× at cutoff
+        opt = cfg["optimizer"]["nested"]
+        opt["decay_start"] = 768
+        opt["decay_interval"] = 512
+    elif "decay" in arm:
         # late LR decay sized to the short-budget regime
         opt = cfg["optimizer"]["nested"]
         opt["decay_start"] = 1024
