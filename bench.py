@@ -62,6 +62,10 @@ def bench_fox():
     # half the gather rows of trilinear for ~0.15 dB/step
     # (scripts/ab_simplex.py; docs/ROUND3_NOTES.md)
     cfg.setdefault("encoding", {})["interpolation"] = "Simplex"
+    # LR decay sized to the 240 s budget (~1536 steps): ×0.33^((s-768)/512)
+    # ⇒ ~0.19× at cutoff. A/B (scripts/ab_r4.py): 27.29 dB vs 27.03 base.
+    cfg["optimizer"]["nested"]["decay_start"] = 768
+    cfg["optimizer"]["nested"]["decay_interval"] = 512
     task = NerfTask(ds, cfg, n_rays_per_batch=1 << 12, max_samples_per_ray=32,
                     n_march_iters=192)
 
