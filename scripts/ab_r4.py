@@ -57,6 +57,19 @@ def eval_psnr(task):
 def make_task(arm):
     cfg = load_network_config("base.json", mode="nerf")
     cfg.setdefault("encoding", {})["interpolation"] = "Simplex"
+    if arm.startswith("f4l8") or arm.startswith("f8l4"):
+        # TPU gather economics: row count (L x corners) is the cost,
+        # row WIDTH is free to 64 B (docs/ROUND3_NOTES.md "Gotchas").
+        # Same total features (L*F=32) => identical MLP shapes; the
+        # factory re-derives per_level_scale for the shorter ladder.
+        enc = cfg["encoding"]
+        enc["n_levels"] = 8 if arm.startswith("f4l8") else 4
+        enc["n_features_per_level"] = 4 if arm.startswith("f4l8") else 8
+        enc.pop("per_level_scale", None)
+        # the budget-tuned decay rides along (established win)
+        opt = cfg["optimizer"]["nested"]
+        opt["decay_start"] = 768
+        opt["decay_interval"] = 512
     if arm == "basedecay":
         # base config + LR decay sized to the 240 s budget (~1536
         # steps): lr × 0.33^((step-768)/512) ⇒ ~0.19× at cutoff
