@@ -11,8 +11,10 @@ access at all.  This module restructures rendering so the inner loop
 is dense linear algebra:
 
 1.  The field is baked into DENSE per-cascade voxel volumes
-    (bake_dense): activated [r,g,b,sigma] at voxel centers, bf16,
-    occupancy-masked, inner-cascade regions zeroed.
+    (bake_dense): activated [σ·r, σ·g, σ·b, σ] at voxel centers, bf16,
+    occupancy-masked, inner-cascade regions zeroed.  Color is stored
+    σ-PREMULTIPLIED so masked (all-zero) voxels are zero-weight under
+    trilinear resampling; the sweep divides after interpolating.
 2.  A frame is rendered by sweeping each volume slab-by-slab along its
     dominant axis (lax.scan).  Perspective is factored Lacroute-style:
     rays are parameterized by their intersection with a fixed
@@ -66,7 +68,7 @@ LAYER_CH = 5
 @dataclasses.dataclass
 class DenseVolumes:
     """Nested dense activated field levels: volumes[m] is (n_m,n_m,n_m,4)
-    bf16 [r,g,b,sigma] at voxel centers.  Level m covers the world-space
+    bf16 [σ·r, σ·g, σ·b, σ] (σ-premultiplied color) at voxel centers.  Level m covers the world-space
     box boxes[m] (boxes[m-1] strictly inside boxes[m]).  When boxes is
     None the levels default to the scene-centered NGP cascade extents
     (cube centered at 0.5 with half-extent 2^(m-1)).
@@ -256,7 +258,7 @@ _SIGMA_TAPS = np.float32([
 def make_voxel_eval(model, rgb_activation, density_activation):
     """Jitted voxel-center evaluator: (C,3) int cells of the level box
     [box_lo, box_lo+box_size] at resolution n → (C,4) activated
-    [r,g,b,sigma_eff].
+    [σ_eff·r, σ_eff·g, σ_eff·b, sigma_eff] (σ-premultiplied color).
 
     sigma_eff is TRANSMITTANCE-corrected: the slab renderer integrates
     at one sample per voxel (dz = the voxel size), 4-8× coarser than
@@ -297,7 +299,14 @@ def make_voxel_eval(model, rgb_activation, density_activation):
         trans = jnp.mean(
             jnp.stack([jnp.exp(-s * dz) for s in sigmas]), axis=0)
         sigma_eff = -jnp.log(jnp.maximum(trans, 1e-20)) / dz
-        return jnp.concatenate([rgb, sigma_eff[:, None]], -1)
+        # SIGMA-PREMULTIPLIED color: unoccupied voxels are all-zero, and
+        # trilinear resampling of raw rgb blends surface color toward
+        # black at every occupancy boundary (fox: thin shells + 68%
+        # masked voxels ⇒ global darkening, measured 11 dB agreement).
+        # Storing [σr, σg, σb, σ] makes empty voxels zero-WEIGHT instead
+        # of zero-color: the sweep divides after interpolation.
+        return jnp.concatenate([rgb * sigma_eff[:, None],
+                                sigma_eff[:, None]], -1)
 
     return eval_chunk
 
@@ -394,10 +403,13 @@ def sweep_octave(
                           tmp.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
         sigma = jnp.maximum(slab[..., 3], 0.0)
-        col = jnp.maximum(slab[..., :3], 0.0)
-        # weights were un-normalized interp (rows sum to <=1 at the
-        # border, 0 outside) — colors are premultiplied by coverage,
-        # which is exactly the zero-outside behavior we want
+        # volumes store σ-premultiplied rgb: divide the interpolated
+        # [σr,σg,σb] by interpolated σ so empty (all-zero) voxels are
+        # zero-weight, not black. Border coverage (interp rows sum <1)
+        # cancels in the ratio and survives in σ ⇒ opacity fades at the
+        # window edge while color stays true.
+        col = jnp.maximum(slab[..., :3], 0.0) / jnp.maximum(
+            sigma, 1e-8)[..., None]
         t_k = (z_k - e_p[0]) * sign * q   # euclidean distance from eye
         alpha = 1.0 - jnp.exp(-sigma * dz * q)
         alpha = jnp.where(ahead, alpha, 0.0)

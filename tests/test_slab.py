@@ -115,7 +115,9 @@ def _brute_force(vols, eye, dirs, n_steps=3000):
         for t in ts:
             v = field(eye + t * d)
             a = 1.0 - np.exp(-max(v[3], 0.0) * dt)
-            rgb = rgb + T * a * np.maximum(v[:3], 0)
+            # volumes store σ-premultiplied color: divide after interp
+            col = np.maximum(v[:3], 0) / max(v[3], 1e-8)
+            rgb = rgb + T * a * col
             dw = dw + T * a * t
             T = T * (1 - a)
             if T < 1e-4:
@@ -152,7 +154,8 @@ def _smooth_blob(n, center, radius, sigma_max, color):
     vol = np.zeros((n, n, n, 4), np.float32)
     vol[..., 3] = sigma_max * w
     for i in range(3):
-        vol[..., i] = color[i]
+        # σ-premultiplied color (the DenseVolumes convention)
+        vol[..., i] = color[i] * vol[..., 3]
     return vol
 
 
@@ -272,6 +275,32 @@ def test_clipmap_boxes_nested_and_quantized():
     b5 = S.clipmap_boxes(eye, aabb_min, aabb_max)
     assert len(b5) == 5
     assert np.allclose(b5[0, 1] - b5[0, 0], 0.25)
+
+
+def test_masked_neighbors_do_not_darken_color():
+    """Regression for the round-4 fox mush (11 dB agreement): a thin
+    WHITE shell whose neighbors are masked (all-zero) voxels must
+    render white, not gray — σ-premultiplied color makes empty voxels
+    zero-weight under trilinear resampling instead of blending black
+    into every surface."""
+    n = 32
+    vol = np.zeros((n, n, n, 4), np.float32)
+    # a 2-voxel-thick opaque white wall at z ≈ 0.5, floating in
+    # masked/empty space (exactly the fox floor/fur regime)
+    vol[:, :, 15:17, 3] = 200.0
+    vol[:, :, 15:17, :3] = 200.0 * 1.0  # σ·rgb for rgb = white
+    dv = S.DenseVolumes(volumes=[jnp.asarray(vol, jnp.bfloat16)],
+                        res=[n], n_cascades=1)
+    eye = np.float32([0.5, 0.5, -1.0])
+    dirs = _camera_dirs(eye, [0.5, 0.5, 0.5], n=5, fov_deg=20)
+    got = np.asarray(S.render_frame(dv, eye, dirs, B0=64, Bo=32))
+    alpha = got[:, 3]
+    assert alpha.min() > 0.95          # wall is opaque
+    # unpremultiplied color must stay white (old convention: ~0.5 gray)
+    rgb = got[:, :3] / np.maximum(alpha[:, None], 1e-6)
+    assert rgb.min() > 0.9
+    ref = _brute_force(dv, eye, dirs)
+    assert np.abs(got[:, :3] - ref[:, :3]).max() < 0.08
 
 
 def test_eye_centered_boxes_match_brute_force():
