@@ -529,6 +529,81 @@ def sample_packed(packed, B: int, ui, vi):
 _PERMS = [(0, 1, 2), (1, 2, 0), (2, 0, 1)]
 
 
+def _clip_halfplane(poly, c):
+    """Sutherland–Hodgman single-edge clip: keep the region
+    c[0]·x + c[1]·y + c[2] >= 0 of a convex polygon [(x, y), ...]."""
+    out = []
+    n = len(poly)
+    for i in range(n):
+        P, Q = poly[i], poly[(i + 1) % n]
+        fp = c[0] * P[0] + c[1] * P[1] + c[2]
+        fq = c[0] * Q[0] + c[1] * Q[1] + c[2]
+        if fp >= 0:
+            out.append(P)
+        if (fp < 0) != (fq < 0):
+            t = fp / (fp - fq)
+            out.append((P[0] + t * (Q[0] - P[0]), P[1] + t * (Q[1] - P[1])))
+    return out
+
+
+def plan_groups_host(xform, wh, fl, pp):
+    """EXACT per-group (du, dv) extremes for an undistorted PERSPECTIVE
+    camera, computed on host — replaces the _group_stats device
+    reduction, whose ~100-byte fetch is still a full host↔device SYNC
+    before any sweep can dispatch (measured 0.16 s of a 0.45 s 1080p
+    frame through the tunneled device).
+
+    Math: the unnormalized world direction is AFFINE in pixel uv
+    (p = M·[uvx, uvy, 1]); a dominant-axis group's membership region
+    {s·p_a >= |p_u|, s·p_a >= |p_v|} ∩ image rect is an intersection of
+    half-planes — a convex polygon — and du = p_u/p_a, dv = p_v/p_a are
+    linear-fractional, hence quasilinear where p_a keeps one sign, so
+    their extremes sit on polygon VERTICES.  Group boundaries are kept
+    inclusive on both sides, so each window is a (zero-measure)
+    superset of the pixel argmax assignment — never smaller.
+
+    Returns (groups list, duv_lo (6,2) f32, duv_hi (6,2) f32)."""
+    Rm = np.asarray(xform, np.float64)[:, :3]
+    W, H = float(wh[0]), float(wh[1])
+    fx, fy = float(fl[0]), float(fl[1])
+    cx, cy = float(pp[0]), float(pp[1])
+    M = Rm @ np.array([[W / fx, 0.0, -cx * W / fx],
+                       [0.0, H / fy, -cy * H / fy],
+                       [0.0, 0.0, 1.0]])
+    x0, x1 = 0.5 / W, 1.0 - 0.5 / W
+    y0, y1 = 0.5 / H, 1.0 - 0.5 / H
+    rect = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+    big = 1e9
+    duv_lo = np.full((6, 2), big, np.float32)
+    duv_hi = np.full((6, 2), -big, np.float32)
+    groups = []
+    for g in range(6):
+        a = g // 2
+        s = 1.0 if g % 2 == 0 else -1.0
+        pa, pu, pv = s * M[a], M[(a + 1) % 3], M[(a + 2) % 3]
+        poly = rect
+        for c in (pa - pu, pa + pu, pa - pv, pa + pv):
+            poly = _clip_halfplane(poly, c)
+            if len(poly) < 3:
+                break
+        if len(poly) < 3:
+            continue
+        V = np.array([[x, y, 1.0] for x, y in poly])
+        den = V @ pa
+        if np.any(den <= 1e-12):
+            # p_a -> 0 on the region only if the direction itself
+            # degenerates; treat as absent rather than divide
+            if np.all(den <= 1e-12):
+                continue
+            den = np.maximum(den, 1e-12)
+        du = (V @ pu) / den * s   # d_u / d_a with SIGNED d_a
+        dv = (V @ pv) / den * s
+        duv_lo[g] = [du.min(), dv.min()]
+        duv_hi[g] = [du.max(), dv.max()]
+        groups.append(g)
+    return groups, duv_lo, duv_hi
+
+
 @jax.jit
 def _group_stats(dirs):
     """Per-group planning summary computed ON DEVICE: (counts, lo, hi)
@@ -566,23 +641,40 @@ def _warp_composite(dirs, eye, outer_pk, l_pk, zb_tab, win_lo_tab,
     win_*_tab: (n_groups, 2nc−1, 2) matching baseplane windows.
     Returns (N, LAYER_CH) composited [premult rgb, T, depth].
     """
-    ax = jnp.argmax(jnp.abs(dirs), axis=-1)                # (N,)
-    d_a = jnp.take_along_axis(dirs, ax[:, None], -1)[:, 0]
-    sgn = jnp.where(d_a >= 0, 0, 1)
-    g = ax * 2 + sgn                                       # (N,) group id
-    # permuted components (a, u, v) per pixel
-    du = jnp.take_along_axis(dirs, ((ax + 1) % 3)[:, None], -1)[:, 0]
-    dv = jnp.take_along_axis(dirs, ((ax + 2) % 3)[:, None], -1)[:, 0]
-    e_a = jnp.take(eye, ax)
-    e_u = jnp.take(eye, (ax + 1) % 3)
-    e_v = jnp.take(eye, (ax + 2) % 3)
+    # dominant axis + permuted components via pure SELECTS — a
+    # take_along_axis here is a per-pixel gather, and ~10 of them cost
+    # more gather rows than the layer sample itself (the warp is the
+    # frame's serial wall; decomp measured 0.18 s of a 0.45 s frame)
+    d0, d1, d2 = dirs[:, 0], dirs[:, 1], dirs[:, 2]
+    a0, a1, a2 = jnp.abs(d0), jnp.abs(d1), jnp.abs(d2)
+    is0 = (a0 >= a1) & (a0 >= a2)          # argmax first-wins ties
+    is1 = (~is0) & (a1 >= a2)
+    sel = lambda x, y, z: jnp.where(is0, x, jnp.where(is1, y, z))  # noqa: E731
+    d_a = sel(d0, d1, d2)
+    du = sel(d1, d2, d0)
+    dv = sel(d2, d0, d1)
+    e_a = sel(eye[0], eye[1], eye[2])
+    e_u = sel(eye[1], eye[2], eye[0])
+    e_v = sel(eye[2], eye[0], eye[1])
+    g = (jnp.where(is0, 0, jnp.where(is1, 2, 4))
+         + (d_a < 0)).astype(jnp.int32)    # (N,) group id
+
+    def table(tab):
+        """(6,)-table lookup per pixel as 6 selects (no gather)."""
+        out = jnp.broadcast_to(tab[0], g.shape)
+        for k in range(1, 6):
+            out = jnp.where(g == k, tab[k], out)
+        return out
+
     n_layers = 2 * nc - 1
     mid = nc - 1  # composite-order index of the innermost layer
 
     def layer_uv(li, B):
-        zb = jnp.take(zb_tab[:, li], g)
-        lo = jnp.take(win_lo_tab[:, li], g, axis=0)        # (N, 2)
-        hi = jnp.take(win_hi_tab[:, li], g, axis=0)
+        zb = table(zb_tab[:, li])
+        lo = jnp.stack([table(win_lo_tab[:, li, 0]),
+                        table(win_lo_tab[:, li, 1])], -1)   # (N, 2)
+        hi = jnp.stack([table(win_hi_tab[:, li, 0]),
+                        table(win_hi_tab[:, li, 1])], -1)
         s = (zb - e_a) / d_a
         u = e_u + du * s
         v = e_v + dv * s
@@ -850,6 +942,7 @@ def render_frame(
     B0: int = 512,
     Bo: int = 256,
     merge_layers: bool = True,
+    plan=None,
 ):
     """Render unit ray dirs (N,3) from `eye` through the dense volumes.
     Returns (N, 5) [premult rgb, alpha, depth] as a jax array.
@@ -875,9 +968,14 @@ def render_frame(
     n_layers = 1 if merge_layers else 2 * nc - 1
     mid = 0 if merge_layers else nc - 1
 
-    counts, duv_lo, duv_hi = (np.asarray(x)
-                              for x in _group_stats(dirs_d))
-    groups = np.nonzero(counts > 0)[0]
+    if plan is not None:
+        # host-computed exact perspective plan (plan_groups_host):
+        # no device round-trip before the sweeps can dispatch
+        groups, duv_lo, duv_hi = plan
+    else:
+        counts, duv_lo, duv_hi = (np.asarray(x)
+                                  for x in _group_stats(dirs_d))
+        groups = np.nonzero(counts > 0)[0]
 
     # device-side transposed volumes, cached on the bake (one transpose
     # per axis per BAKE, not per frame)

@@ -1561,12 +1561,22 @@ class NerfTask:
             jnp.asarray(principal_point, jnp.float32),
             jnp.asarray(xform))
         B0 = 512 if max(width, height) <= 640 else 1024
-        # d stays ON DEVICE: render_frame plans from a ~100-byte
-        # device-reduced summary, not the (N,3) array (24 MB at 1080p)
+        # undistorted perspective cameras plan entirely on HOST (exact
+        # polygon extremes, slab.plan_groups_host) — no device sync
+        # before the sweeps dispatch; other lenses fall back to the
+        # ~100-byte device-reduced summary
+        from ..common import LensMode
+        plan = None
+        if LensMode(self.dataset.lens_mode) == LensMode.PERSPECTIVE:
+            plan = _slab.plan_groups_host(
+                np.asarray(xform, np.float32), (width, height),
+                focal_length, principal_point)
+        # d stays ON DEVICE: render_frame plans from the host plan or a
+        # device-reduced summary, never the (N,3) array (24 MB at 1080p)
         out = _slab.render_frame(dvols, eye, d,
                                  background=np.asarray(background,
                                                        np.float32),
-                                 B0=B0, Bo=B0 // 2)
+                                 B0=B0, Bo=B0 // 2, plan=plan)
         # slice on DEVICE before the host copy: the pad rows and (when
         # unused) the depth channel never cross the tunnel
         if return_depth:

@@ -277,6 +277,46 @@ def test_clipmap_boxes_nested_and_quantized():
     assert np.allclose(b5[0, 1] - b5[0, 0], 0.25)
 
 
+def test_plan_groups_host_matches_device_stats():
+    """The host polygon planner must produce, for every present group,
+    a (du, dv) window that CONTAINS the device-reduced extremes of the
+    actual pixel rays (it is exact over the continuous pixel rect, so
+    it can only be equal-or-wider than any discrete sampling)."""
+    rng = np.random.default_rng(7)
+    W, H = 96, 64
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    uv = np.stack([(xs.reshape(-1) + 0.5) / W,
+                   (ys.reshape(-1) + 0.5) / H], -1).astype(np.float32)
+    for trial in range(6):
+        # random rotation + intrinsics (wide FOV to span many groups)
+        A = rng.normal(size=(3, 3))
+        q, _ = np.linalg.qr(A)
+        xform = np.concatenate([q, rng.normal(size=(3, 1))],
+                               1).astype(np.float32)
+        fl = (W / (1.2 + trial * 0.4), H / (1.0 + trial * 0.3))
+        pp = (0.5 + 0.1 * rng.normal(), 0.5 + 0.1 * rng.normal())
+        cx, cy = pp
+        u = (uv[:, 0] - cx) * W / fl[0]
+        v = (uv[:, 1] - cy) * H / fl[1]
+        d = np.stack([u, v, np.ones_like(u)], -1) @ q.T
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        counts, lo_d, hi_d = (np.asarray(x) for x in S._group_stats(
+            jnp.asarray(d.astype(np.float32))))
+        groups, lo_h, hi_h = S.plan_groups_host(xform, (W, H), fl, pp)
+        for g in range(6):
+            if counts[g] == 0:
+                continue
+            assert g in groups, f"trial {trial}: group {g} missed"
+            assert np.all(lo_h[g] <= lo_d[g] + 1e-4), (trial, g)
+            assert np.all(hi_h[g] >= hi_d[g] - 1e-4), (trial, g)
+            # and not absurdly wider (exactness sanity): the host
+            # window never exceeds the sampled one by more than the
+            # spread a single pixel of boundary overlap can add
+            spread = np.maximum(hi_d[g] - lo_d[g], 0.2)
+            assert np.all(lo_h[g] >= lo_d[g] - 0.35 * spread - 0.15)
+            assert np.all(hi_h[g] <= hi_d[g] + 0.35 * spread + 0.15)
+
+
 def test_masked_neighbors_do_not_darken_color():
     """Regression for the round-4 fox mush (11 dB agreement): a thin
     WHITE shell whose neighbors are masked (all-zero) voxels must
