@@ -247,7 +247,8 @@ def bench_fox():
             kw = dict(focal_length=(ds.focal_lengths[v, 0],
                                     ds.focal_lengths[v, 1]),
                       principal_point=tuple(ds.principal_points[v]),
-                      background=(0, 0, 0, 0), render_quality="slab")
+                      background=(0, 0, 0, 0), render_quality="slab",
+                      out_uint8=True)  # viewer-realistic frame copy
             task.render(1920, 1080, ds.xforms_start[v], **kw)  # compile
             t0 = time.time()
             task.render(1920, 1080, ds.xforms_start[v], **kw)

@@ -564,6 +564,10 @@ class NerfTask:
         )
         self._jit_prep_rays = jax.jit(self._prep_rays)
         self._jit_gather_ray_state = jax.jit(self._gather_ray_state)
+        # per-resolution device-side pixel-grid ray generators (slab
+        # path); closures capture self._prep_rays so they must be
+        # rebuilt whenever the jit programs are
+        self._grid_ray_cache = {}
 
     # ------------------------------------------------------------------
     # data access
@@ -1539,7 +1543,8 @@ class NerfTask:
         return dvols
 
     def _render_slab(self, width, height, xform, focal_length,
-                     principal_point, background, return_depth=False):
+                     principal_point, background, return_depth=False,
+                     out_uint8=False):
         """Frame render through the slab-sweep pipeline (nerf/slab.py):
         dense bake + gather-free MXU slab compositing. The fast-preview
         counterpart of the exact per-sample march."""
@@ -1549,17 +1554,25 @@ class NerfTask:
         dvols = self._get_slab(origin=eye, eye=eye)
         n = width * height
         n_pad = max(1024, 1 << int(math.ceil(math.log2(n))))
-        ys, xs = np.meshgrid(np.arange(height), np.arange(width),
-                             indexing="ij")
-        uv = np.stack([(xs.reshape(-1) + 0.5) / width,
-                       (ys.reshape(-1) + 0.5) / height],
-                      -1).astype(np.float32)
-        uv = np.pad(uv, ((0, n_pad - n), (0, 0)), constant_values=0.5)
-        _, d, _, _ = self._jit_prep_rays(
-            jnp.asarray(uv), jnp.asarray([width, height], jnp.float32),
-            jnp.asarray(focal_length, jnp.float32),
-            jnp.asarray(principal_point, jnp.float32),
-            jnp.asarray(xform))
+        # the pixel grid is generated ON DEVICE (iota): uploading a
+        # host-built (N,2) uv array is 16 MB through the tunnel per
+        # 1080p frame — measured as the bulk of a 1.2 s/frame gap
+        # between render_frame device time and task.render wall time
+        key = ("slab_grid", width, height, n_pad)
+        fn = self._grid_ray_cache.get(key)
+        if fn is None:
+            def _grid_rays(fl, pp, xf, W=width, H=height, P=n_pad):
+                i = jax.lax.iota(jnp.int32, P)
+                xs = (i % W).astype(jnp.float32)
+                ys = jnp.minimum(i // W, H - 1).astype(jnp.float32)
+                uv = jnp.stack([(xs + 0.5) / W, (ys + 0.5) / H], -1)
+                return self._prep_rays(
+                    uv, jnp.asarray([W, H], jnp.float32), fl, pp, xf)[1]
+            fn = jax.jit(_grid_rays)
+            self._grid_ray_cache[key] = fn
+        d = fn(jnp.asarray(focal_length, jnp.float32),
+               jnp.asarray(principal_point, jnp.float32),
+               jnp.asarray(xform))
         B0 = 512 if max(width, height) <= 640 else 1024
         # undistorted perspective cameras plan entirely on HOST (exact
         # polygon extremes, slab.plan_groups_host) — no device sync
@@ -1583,6 +1596,10 @@ class NerfTask:
             out = np.asarray(out[:n, :5])
             img = out[:, :4].reshape(height, width, 4)
             return img, out[:, 4].reshape(height, width)
+        if out_uint8:
+            q = (jnp.clip(out[:n, :4], 0.0, 1.0) * 255.0
+                 + 0.5).astype(jnp.uint8)
+            return np.asarray(q).reshape(height, width, 4)
         return np.asarray(out[:n, :4]).reshape(height, width, 4)
 
     def _march_window(self, grid_bits, o, d, t, alive, tmax, window=None,
@@ -2036,8 +2053,14 @@ class NerfTask:
         uv_warp_fn=None,
         render_quality: str = "exact",
         return_depth: bool = False,
+        out_uint8: bool = False,
     ) -> np.ndarray:
         """Render a frame → (H, W, 4) float32 RGBA.
+
+        out_uint8 (slab path only): quantize to uint8 ON DEVICE before
+        the host copy — a 1080p float frame is 33 MB through the
+        tunneled device, a uint8 one 8 MB; this is the realistic
+        interactive-viewer endpoint (the web viewer ships uint8 PNGs).
 
         Colors come out in the model's training space (sRGB for LDR
         datasets); `to_srgb` additionally converts HDR/linear renders.
@@ -2068,7 +2091,7 @@ class NerfTask:
             return self._render_slab(
                 width, height, np.asarray(camera_matrix, np.float32),
                 focal_length, principal_point, background,
-                return_depth=return_depth)
+                return_depth=return_depth, out_uint8=out_uint8)
         if render_quality == "baked":
             baked_cache = self._get_baked(
                 origin=np.asarray(camera_matrix, np.float32)[:, 3])

@@ -83,16 +83,16 @@ def make_task(arm):
         opt["decay_interval"] = 512
     kw = dict(n_rays_per_batch=1 << 12, max_samples_per_ray=32,
               n_march_iters=192)
-    if arm.startswith("s18"):
+    if "s18" in arm:
         kw["target_batch_size"] = 1 << 19  # valid-sample target = 2^18
     task = NerfTask(ds, cfg, **kw)
-    if arm.startswith("s18"):
+    if "s18" in arm:
         task.max_ray_bucket_log2 = 14
     return task
 
 
 def run(arm):
-    buckets = ((2048, 4096, 8192, 16384) if arm.startswith("s18")
+    buckets = ((2048, 4096, 8192, 16384) if "s18" in arm
                else (2048, 4096, 8192))
     task = make_task(arm)
     for b in buckets:

@@ -49,7 +49,8 @@ def main():
     w, h = ds.resolution
     fl = (ds.focal_lengths[v, 0] * 1920 / w, ds.focal_lengths[v, 1] * 1080 / h)
     kw = dict(focal_length=fl, principal_point=tuple(ds.principal_points[v]),
-              background=(0, 0, 0, 0), render_quality="slab")
+              background=(0, 0, 0, 0), render_quality="slab",
+              out_uint8=True)  # viewer-realistic frame: 8 MB copy not 33
 
     log("baking dense volumes...")
     t0 = time.time()
