@@ -4,6 +4,14 @@ PSNR (the BASELINE.json headline metric). Prints ONE JSON line:
 
 Falls back to the albert.exr image-fit PSNR if the fox dataset is
 unavailable. Baseline target: 30 dB in < 10 s (BASELINE.md).
+
+Loss-proofing (rounds 2-4 all lost results to the driver's kill):
+the orchestrator emits the best-known merged headline to ITS stdout
+the moment any child prints a JSON line (stdout is streamed through a
+reader thread, never buffered to completion), children print a
+provisional headline after EVERY eval chunk, and a pending headline is
+emitted at t=0 — so a kill at ANY instant leaves the last emission on
+record. The driver takes the last parseable line.
 """
 
 import faulthandler
@@ -11,6 +19,7 @@ import json
 import os
 import signal
 import sys
+import threading
 import time
 from pathlib import Path
 
@@ -20,6 +29,7 @@ import numpy as np
 
 FOX = "/root/reference/data/nerf/fox"
 ALBERT = "/root/reference/data/image/albert.exr"
+SNAP = str(Path(__file__).resolve().parent / "data" / "fox_1536.ingp")
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 240))
 TARGET_DB = 30.0
 
@@ -56,6 +66,9 @@ def bench_fox():
     from instant_ngp_tpu.nerf.task import NerfTask
     from instant_ngp_tpu.common import srgb_to_linear, linear_to_srgb
 
+    import jax.numpy as jnp
+
+    t_phase0 = time.time()
     ds = load_nerf(FOX)
     cfg = load_network_config("base.json", mode="nerf")
     # TPU flagship: 4-corner simplex interpolation on hashed levels —
@@ -66,19 +79,35 @@ def bench_fox():
     # ⇒ ~0.19× at cutoff. A/B (scripts/ab_r4.py): 27.29 dB vs 27.03 base.
     cfg["optimizer"]["nested"]["decay_start"] = 768
     cfg["optimizer"]["nested"]["decay_interval"] = 512
-    task = NerfTask(ds, cfg, n_rays_per_batch=1 << 12, max_samples_per_ray=32,
-                    n_march_iters=192)
 
-    # eval views: 5 evenly spaced training views at half res (training
-    # views double as eval for fox, like run.py screenshot_transforms)
+    def make_task():
+        return NerfTask(ds, cfg, n_rays_per_batch=1 << 12,
+                        max_samples_per_ray=32, n_march_iters=192)
+
+    task = make_task()
+
+    # ---- eval protocol -------------------------------------------------
+    # Full eval: 3 evenly spaced training views at quarter res through
+    # ONE compacted ray pool (render_batch), sRGB-space PSNR vs the
+    # 4x4-linear-averaged GT (the protocol of rounds 1-4, comparable).
+    # Probe eval: the SAME protocol on a fixed random subset of those
+    # quarter-res pixels — an unbiased estimate of the full-frame MSE
+    # at ~1/6 the rays, used after every chunk so a provisional
+    # headline is never more than one chunk old. The final headline is
+    # always a FULL eval; emissions carry extra.eval so the claim is
+    # self-describing.
     w, h = ds.resolution
     ew, eh = w // 4, h // 4
     views = np.linspace(0, ds.n_images - 1, 3).astype(int)
 
-    def eval_psnr():
-        # all eval views through ONE compacted ray pool (render_batch):
-        # the per-round host sync is paid once for the batch, not per
-        # view (sequential views measured ~26 s steady in round 3)
+    gt_frames = []
+    for v in views:
+        img = ds.images[v].astype(np.float32) / 255.0
+        lin = np.asarray(srgb_to_linear(img[..., :3])) * img[..., 3:4]
+        lin = lin[: eh * 4, : ew * 4].reshape(eh, 4, ew, 4, 3).mean((1, 3))
+        gt_frames.append(np.asarray(linear_to_srgb(lin)))
+
+    def eval_full():
         frames = task.render_batch(
             ew, eh, [ds.xforms_start[v] for v in views],
             focal_lengths=[(ds.focal_lengths[v, 0] * ew / w,
@@ -86,201 +115,267 @@ def bench_fox():
             principal_points=[tuple(ds.principal_points[v]) for v in views],
             background=(0, 0, 0, 0),
         )
-        ses = []
-        for frame, v in zip(frames, views):
-            # GT: downsample by averaging 4x4 in linear space, then srgb
-            img = ds.images[v].astype(np.float32) / 255.0
-            lin = np.asarray(srgb_to_linear(img[..., :3])) * img[..., 3:4]
-            lin = lin[: eh * 4, : ew * 4].reshape(eh, 4, ew, 4, 3).mean((1, 3))
-            gt = np.asarray(linear_to_srgb(lin))
-            pred = np.clip(frame[..., :3], 0.0, 1.0)
-            ses.append(np.mean((pred - gt) ** 2))
+        ses = [np.mean((np.clip(f[..., :3], 0.0, 1.0) - gt) ** 2)
+               for f, gt in zip(frames, gt_frames)]
         return mse_to_psnr(float(np.mean(ses)))
 
-    # warm up compiles outside the timed region: all ray buckets, the
-    # error-map-CDF program variants (first rebuild at step 128), and
-    # the grid-update programs — every shape must hit the persistent
-    # compile cache before the timed run
-    print("# warmup: train step (all ray buckets)...", file=sys.stderr, flush=True)
-    # alarm: a tunnel outage manifests as a HANG, not an error — raise
-    # so main()'s re-exec retry gets a shot at a recovered device
-    # (2400 s covers the worst cold-cache compile storm observed)
-    with _alarm(2400):
-        for bucket in (2048, 4096, 8192):
-            task._n_rays_current = bucket
-            task.train(1)
-        task.train(140)  # crosses the first CDF rebuild → use_cdf variants
-        for bucket in (2048, 4096):
-            task._n_rays_current = bucket
-            task.train(1)
-        # the corner anneal switches to exact gradients mid-run — compile
-        # those program variants now too
-        task.exact_corners_after = 0
-        for bucket in (2048, 4096, 8192):
-            task._n_rays_current = bucket
-            task.train(1)
-        task._n_rays_current = task.n_rays_per_batch
-        print("# warmup: eval render...", file=sys.stderr, flush=True)
-        t_ev = time.time()
-        _ = eval_psnr()
-        print(f"# warmup eval took {time.time()-t_ev:.1f}s (includes compiles)",
-              file=sys.stderr, flush=True)
-        t_ev = time.time()
-        _ = eval_psnr()
-        print(f"# steady-state eval: {time.time()-t_ev:.1f}s for 3 views",
-              file=sys.stderr, flush=True)
+    # fixed probe pixels (same pixels every eval → a smooth trace)
+    rng = np.random.default_rng(7)
+    n_probe = 8192
+    probe_xy = [(rng.integers(0, ew, n_probe), rng.integers(0, eh, n_probe))
+                for _ in views]
+    probe_gt = np.concatenate(
+        [gt[py, px] for (px, py), gt in zip(probe_xy, gt_frames)])
 
-    # reset to a fresh task for the clean timed run (compiles + the
-    # visibility-culling grid are disk-cached at this point)
-    task = NerfTask(ds, cfg, n_rays_per_batch=1 << 12, max_samples_per_ray=32,
-                    n_march_iters=192)
+    def eval_probe():
+        os_, ds_, t0s, t1s = [], [], [], []
+        for (px, py), v in zip(probe_xy, views):
+            uv = np.stack([(px + 0.5) / ew, (py + 0.5) / eh],
+                          -1).astype(np.float32)
+            fl = (ds.focal_lengths[v, 0] * ew / w,
+                  ds.focal_lengths[v, 1] * eh / h)
+            o, d, tmin, tmax = task._jit_prep_rays(
+                jnp.asarray(uv), jnp.asarray([ew, eh], jnp.float32),
+                jnp.asarray(fl, jnp.float32),
+                jnp.asarray(tuple(ds.principal_points[v]), jnp.float32),
+                jnp.asarray(ds.xforms_start[v], jnp.float32))
+            os_.append(o)
+            ds_.append(d)
+            t0s.append(tmin)
+            t1s.append(tmax)
+        params = task.opt.inference_params(task.state.opt_state,
+                                           task.state.params)
+        rgb, alpha, _, _ = task._render_rays(
+            params, task.state.grid.skipmip, jnp.concatenate(os_),
+            jnp.concatenate(ds_), bricks=task._get_bricks(params),
+            tminmax=(jnp.concatenate(t0s), jnp.concatenate(t1s)))
+        pred = np.clip(np.asarray(rgb), 0.0, 1.0)
+        return mse_to_psnr(float(np.mean((pred - probe_gt) ** 2)))
 
-    # the budget/headline counts TRAINING time only — the reference's
-    # "5 s fox" excludes its eval renders too; evals here cost tens of
-    # seconds each and would otherwise eat most of the budget
-    train_elapsed = 0.0
+    # ---- provisional-result plumbing -----------------------------------
+    extras = {
+        "eval_protocol": "3 train views 1/4-res sRGB; probe=24576-px "
+                         "subset (unbiased MSE est.), full=all px",
+    }
     seconds_to_target = None
-    best_psnr = 0.0
-    chunk = 128
-    while train_elapsed < BUDGET_S:
-        t0 = time.time()
-        try:
-            # a chunk is ~20-90 s; a stuck tunnel dispatch is a hang,
-            # not an error — bail with the partial result instead of
-            # letting the phase timeout discard everything
-            with _alarm(1500):
-                task.train(chunk)
-                train_elapsed += time.time() - t0
-                p = eval_psnr()
-        except TimeoutError:
-            print("# train/eval chunk hung — returning partial result",
-                  file=sys.stderr, flush=True)
-            break
-        best_psnr = max(best_psnr, p)
-        print(f"# step {task.training_step} t={train_elapsed:.1f}s psnr={p:.2f}",
-              file=sys.stderr, flush=True)
-        if p >= TARGET_DB:
-            seconds_to_target = train_elapsed
-            break
+    headline_psnr = 0.0
 
-    extras = {"steps": task.training_step}
-
-    def _result(ex):
+    def _result(ex, eval_kind):
+        ex = {**ex, "eval": eval_kind}
         if seconds_to_target is not None:
             return {
                 "metric": "fox_nerf_seconds_to_30db_psnr",
                 "value": round(seconds_to_target, 2),
                 "unit": "s",
                 "vs_baseline": round(seconds_to_target / 10.0, 3),
-                "extra": {**ex, "psnr": round(best_psnr, 2)},
+                "extra": {**ex, "psnr": round(headline_psnr, 2)},
             }
         return {
             "metric": "fox_nerf_psnr_at_budget",
-            "value": round(best_psnr, 2),
+            "value": round(headline_psnr, 2),
             "unit": "dB",
-            "vs_baseline": round(best_psnr / TARGET_DB, 3),
+            "vs_baseline": round(headline_psnr / TARGET_DB, 3),
             "extra": {**ex, "budget_s": BUDGET_S},
         }
 
-    # provisional headline NOW: if a render-throughput extra below
-    # hangs (a stuck TPU dispatch is a hang, not an exception) and the
-    # phase is killed at its timeout, the orchestrator still parses
-    # this line and the training result survives
-    print(json.dumps(_result(extras)), flush=True)
+    def emit(eval_kind):
+        print(json.dumps(_result(extras, eval_kind)), flush=True)
 
-    # render throughput on the trained model (256², training view 0):
-    # exact protocol rendering and the fast stochastic-corner mode
+    extras["steps"] = 0
+    emit("pending")  # a kill during warmup still leaves a fox record
+
+    # ---- warmup (capped): compile the exact shapes the timed run uses;
+    # everything is disk-cached (.jax_cache) so a warm round is seconds.
+    # Optional variants (CDF programs past step 128, corner-anneal exact
+    # gradients) are skipped once the cap is exceeded — the timed run
+    # then eats those compiles in-budget, which is strictly better than
+    # an unbounded warmup eating the driver's wall clock (round 4 died
+    # at 394 s of warmup with nothing emitted).
+    warmup_cap = float(os.environ.get("BENCH_WARMUP_CAP_S", 420))
+    print("# warmup: train step (all ray buckets)...", file=sys.stderr,
+          flush=True)
+    t_w = time.time()
+    with _alarm(2400):
+        for bucket in (2048, 4096, 8192):
+            task._n_rays_current = bucket
+            task.train(1)
+        print(f"# warmup: probe eval... (t={time.time()-t_w:.0f}s)",
+              file=sys.stderr, flush=True)
+        _ = eval_probe()
+        if time.time() - t_w < warmup_cap:
+            print(f"# warmup: full eval... (t={time.time()-t_w:.0f}s)",
+                  file=sys.stderr, flush=True)
+            _ = eval_full()
+        if time.time() - t_w < warmup_cap:
+            # crosses the first CDF rebuild → use_cdf program variants
+            print(f"# warmup: CDF variants... (t={time.time()-t_w:.0f}s)",
+                  file=sys.stderr, flush=True)
+            task.train(140)
+            for bucket in (2048, 4096):
+                task._n_rays_current = bucket
+                task.train(1)
+        if time.time() - t_w < warmup_cap:
+            # the corner anneal switches to exact gradients mid-run
+            print(f"# warmup: anneal variants... (t={time.time()-t_w:.0f}s)",
+                  file=sys.stderr, flush=True)
+            task.exact_corners_after = 0
+            for bucket in (2048, 4096, 8192):
+                task._n_rays_current = bucket
+                task.train(1)
+    extras["warmup_s"] = round(time.time() - t_w, 1)
+    extras["load_s"] = round(t_w - t_phase0, 1)
+    print(f"# warmup done in {extras['warmup_s']}s", file=sys.stderr,
+          flush=True)
+
+    # fresh task for the clean timed run (compiles are cached now)
+    task = make_task()
+
+    # the budget/headline counts TRAINING time only — the reference's
+    # "5 s fox" excludes its eval renders too (README.md:5); evals are
+    # off-budget but every emission says which eval produced it
+    train_elapsed = 0.0
+    chunk = 128
+    while train_elapsed < BUDGET_S:
+        t0 = time.time()
+        try:
+            # a stuck tunnel dispatch is a hang, not an error — bail
+            # with the partial result instead of losing the phase
+            with _alarm(1500):
+                task.train(chunk)
+                train_elapsed += time.time() - t0
+                p = eval_probe()
+        except TimeoutError:
+            print("# train/eval chunk hung — returning partial result",
+                  file=sys.stderr, flush=True)
+            break
+        headline_psnr = max(headline_psnr, p)
+        extras["steps"] = task.training_step
+        extras["train_s"] = round(train_elapsed, 1)
+        print(f"# step {task.training_step} t={train_elapsed:.1f}s "
+              f"psnr={p:.2f} (probe)", file=sys.stderr, flush=True)
+        emit("probe")
+        if p >= TARGET_DB:
+            full = eval_full()
+            if full >= TARGET_DB:
+                seconds_to_target = train_elapsed
+                headline_psnr = full
+                emit("full")
+                break
+
+    # final full-protocol eval supersedes the probe headline
+    eval_kind = "probe"
     try:
-        with _alarm(600):
-            v = int(views[0])
-            fl = (ds.focal_lengths[v, 0] * 256 / w,
-                  ds.focal_lengths[v, 1] * 256 / h)
-
-            def rays_per_s(quality):
-                kw = dict(focal_length=fl,
-                          principal_point=tuple(ds.principal_points[v]),
-                          background=(0, 0, 0, 0), render_quality=quality)
-                task.render(256, 256, ds.xforms_start[v], **kw)  # compile
-                t0 = time.time()
-                task.render(256, 256, ds.xforms_start[v], **kw)
-                return round(256 * 256 / (time.time() - t0) / 1e6, 4)
-
-            extras["render_mrays_per_s"] = {"exact": rays_per_s("exact")}
-            print(json.dumps(_result(extras)), flush=True)
-    except Exception as e:  # noqa: BLE001
-        extras["render_mrays_per_s"] = {"error": str(e)[:120]}
-        return _result(extras)  # a hung device won't recover below
-    try:
-        # baked-cache render throughput (nerf/baked.py): bake once for
-        # this camera, then measure steady-state frames at 256² and
-        # 1080p (the reference's interactive-render regime)
         with _alarm(900):
-            v = int(views[0])
-            t0 = time.time()
-            task._get_baked(origin=np.asarray(ds.xforms_start[v])[:, 3])
-            extras["render_mrays_per_s"]["bake_s"] = round(
-                time.time() - t0, 2)
-            extras["render_mrays_per_s"]["baked"] = rays_per_s("baked")
-            kw = dict(focal_length=(ds.focal_lengths[v, 0],
-                                    ds.focal_lengths[v, 1]),
-                      principal_point=tuple(ds.principal_points[v]),
-                      background=(0, 0, 0, 0), render_quality="baked")
-            task.render(1920, 1080, ds.xforms_start[v], **kw)  # compile
-            t0 = time.time()
-            task.render(1920, 1080, ds.xforms_start[v], **kw)
-            extras["render_mrays_per_s"]["baked_1080p"] = round(
-                1920 * 1080 / (time.time() - t0) / 1e6, 4)
-            print(json.dumps(_result(extras)), flush=True)
+            full = eval_full()
+        extras["final_full_psnr"] = round(full, 2)
+        headline_psnr = full
+        eval_kind = "full"
     except Exception as e:  # noqa: BLE001
-        extras["render_mrays_per_s"]["baked_error"] = str(e)[:120]
+        extras["final_eval_error"] = str(e)[:120]
+    emit(eval_kind)
+    return _result(extras, eval_kind)
+
+
+def bench_render_fox():
+    """Render throughput + agreement on a PRE-TRAINED fox snapshot
+    (data/fox_1536.ingp, built by scripts/train_fox_snapshot.py) —
+    decoupled from the training phase so render numbers land under the
+    driver even if training is killed (VERDICT r4 item 2). Measures the
+    reference's interactive regime (testbed_nerf.cu:1894-2150): exact
+    compact-loop, baked-cache, and slab-sweep paths at 256² and 1080p.
+    Prints a cumulative JSON line after EVERY measurement."""
+    from instant_ngp_tpu.testbed import Testbed
+
+    out = {"snapshot": "data/fox_1536.ingp"}
+
+    def emit():
+        print(json.dumps(out), flush=True)
+
+    if not Path(SNAP).exists():
+        out["error"] = "snapshot missing"
+        emit()
+        return out
+
+    t0 = time.time()
+    tb = Testbed("nerf")
+    tb.load_snapshot(SNAP)
+    task = tb.task
+    ds = tb.nerf_dataset
+    out["load_s"] = round(time.time() - t0, 1)
+    out["step"] = task.training_step
+    v = 0
+    w, h = ds.resolution
+    xf = np.asarray(ds.xforms_start[v], np.float32)
+
+    def kw_for(rw, rh, **extra):
+        return dict(
+            focal_length=(ds.focal_lengths[v, 0] * rw / w,
+                          ds.focal_lengths[v, 1] * rh / h),
+            principal_point=tuple(ds.principal_points[v]),
+            background=(0, 0, 0, 0), **extra)
+
+    def rays_per_s(rw, rh, **extra):
+        kw = kw_for(rw, rh, **extra)
+        task.render(rw, rh, xf, **kw)  # compile + warm
+        t = time.time()
+        task.render(rw, rh, xf, **kw)
+        return round(rw * rh / (time.time() - t) / 1e6, 4)
+
+    def agree(a, b):
+        mse = float(np.mean((np.clip(a[..., :3], 0, 1)
+                             - np.clip(b[..., :3], 0, 1)) ** 2))
+        return round(-10 * np.log10(max(mse, 1e-10)), 2)
+
+    img_exact = None
     try:
-        # slab-sweep render throughput (nerf/slab.py): dense diffuse
-        # bake once, then steady-state frames; plus image agreement
-        # with the exact renderer at 256²
         with _alarm(900):
-            v = int(views[0])
-            t0 = time.time()
-            task._get_slab(eye=np.asarray(ds.xforms_start[v])[:, 3])
-            extras["render_mrays_per_s"]["slab_bake_s"] = round(
-                time.time() - t0, 2)
-            extras["render_mrays_per_s"]["slab"] = rays_per_s("slab")
-            kw = dict(focal_length=(ds.focal_lengths[v, 0],
-                                    ds.focal_lengths[v, 1]),
-                      principal_point=tuple(ds.principal_points[v]),
-                      background=(0, 0, 0, 0), render_quality="slab",
-                      out_uint8=True)  # viewer-realistic frame copy
-            task.render(1920, 1080, ds.xforms_start[v], **kw)  # compile
-            t0 = time.time()
-            task.render(1920, 1080, ds.xforms_start[v], **kw)
-            extras["render_mrays_per_s"]["slab_1080p"] = round(
-                1920 * 1080 / (time.time() - t0) / 1e6, 4)
-            fl = (ds.focal_lengths[v, 0] * 256 / w,
-                  ds.focal_lengths[v, 1] * 256 / h)
-            kw2 = dict(focal_length=fl,
-                       principal_point=tuple(ds.principal_points[v]),
-                       background=(0, 0, 0, 0))
-            img_s = np.asarray(task.render(256, 256, ds.xforms_start[v],
-                                           render_quality="slab", **kw2))
-            img_e = np.asarray(task.render(256, 256, ds.xforms_start[v],
-                                           **kw2))
-
-            def agree(a, b):
-                mse = float(np.mean((np.clip(a[..., :3], 0, 1)
-                                     - np.clip(b[..., :3], 0, 1)) ** 2))
-                return round(-10 * np.log10(max(mse, 1e-10)), 2)
-
-            extras["render_mrays_per_s"]["slab_vs_exact_psnr"] = agree(
-                img_e, img_s)
+            out["exact_256"] = rays_per_s(256, 256)
+            img_exact = np.asarray(
+                task.render(256, 256, xf, **kw_for(256, 256)))
+            emit()
+    except Exception as e:  # noqa: BLE001
+        out["exact_error"] = str(e)[:120]
+        emit()
+        return out  # a hung device won't recover below
+    try:
+        with _alarm(900):
+            t = time.time()
+            task._get_baked(origin=xf[:, 3])
+            out["bake_s"] = round(time.time() - t, 2)
+            out["baked_256"] = rays_per_s(256, 256, render_quality="baked")
+            out["baked_1080p"] = rays_per_s(1920, 1080,
+                                            render_quality="baked")
+            emit()
+    except Exception as e:  # noqa: BLE001
+        out["baked_error"] = str(e)[:120]
+        emit()
+    try:
+        with _alarm(900):
+            t = time.time()
+            task._get_slab(eye=xf[:, 3])
+            out["slab_bake_s"] = round(time.time() - t, 2)
+            out["slab_256"] = rays_per_s(256, 256, render_quality="slab")
+            # uint8 device-side quantize = the viewer-realistic frame copy
+            out["slab_1080p"] = rays_per_s(1920, 1080, render_quality="slab",
+                                           out_uint8=True)
+            emit()
+            img_s = np.asarray(task.render(256, 256, xf,
+                                           **kw_for(256, 256,
+                                                    render_quality="slab")))
+            out["slab_vs_exact_psnr"] = agree(img_exact, img_s)
+            emit()
             # apples-to-apples: per-camera view-dependent bake
             task.slab_bake_view_dependent = True
-            img_v = np.asarray(task.render(256, 256, ds.xforms_start[v],
-                                           render_quality="slab", **kw2))
+            img_v = np.asarray(task.render(256, 256, xf,
+                                           **kw_for(256, 256,
+                                                    render_quality="slab")))
             task.slab_bake_view_dependent = False
-            extras["render_mrays_per_s"]["slab_vs_exact_psnr_vd"] = agree(
-                img_e, img_v)
+            out["slab_vs_exact_psnr_vd"] = agree(img_exact, img_v)
+            emit()
     except Exception as e:  # noqa: BLE001
-        extras["render_mrays_per_s"]["slab_error"] = str(e)[:120]
-    return _result(extras)
+        out["slab_error"] = str(e)[:120]
+        emit()
+    return out
 
 
 def bench_sdf(n_steps: int = 512):
@@ -348,7 +443,6 @@ def bench_gigapixel():
     config). Reports steps/s and PSNR on a 1M-pixel random probe."""
     import time as _t
 
-    import jax
     import jax.numpy as jnp
 
     from instant_ngp_tpu.config import load_network_config
@@ -483,14 +577,26 @@ def bench_image():
     }
 
 
+def bench_selftest():
+    """Orchestration test phase (BENCH_ONLY=selftest): prints a JSON
+    line immediately, then sleeps — lets tests verify that a kill at
+    any moment leaves the streamed emission on the orchestrator's
+    stdout. Imports nothing heavy."""
+    print(json.dumps({"selftest": "alive", "pid": os.getpid()}), flush=True)
+    time.sleep(float(os.environ.get("BENCH_SELFTEST_SLEEP_S", 600)))
+    return {"selftest": "finished"}
+
+
 PHASES = {
     # name -> (callable name, subprocess timeout seconds)
-    "fox": ("bench_fox", 5400),
+    "fox": ("bench_fox", 3600),
+    "render_fox": ("bench_render_fox", 1500),
     "synthetic_box": ("bench_synthetic", 1200),
     "gigapixel": ("bench_gigapixel", 1800),
     "sdf_armadillo": ("bench_sdf", 1500),
     "volume_blob": ("bench_volume", 1200),
     "image_albert": ("bench_albert", 900),
+    "selftest": ("bench_selftest", 120),  # only runs via BENCH_ONLY
 }
 
 
@@ -501,15 +607,23 @@ def orchestrate():
     kills every later dispatch in the same process — isolating phases
     means one crash costs one phase, and each child can execv-retry
     itself (see main's UNAVAILABLE handler). The orchestrator itself
-    never touches the device."""
+    never touches the device.
+
+    Child stdout is STREAMED line-by-line through a reader thread; each
+    JSON line immediately updates the merged headline on the
+    orchestrator's own stdout. A driver kill at any instant therefore
+    loses at most the work since the child's last emission — never the
+    round (rounds 2-4's failure mode: subprocess.PIPE buffered the
+    child's output until phase completion)."""
     import subprocess
 
     t_start = time.time()
     # hard wall-clock budget for the WHOLE bench: the driver kills a
-    # run that overstays (round-3's was discarded at rc=124) — stop
-    # STARTING phases well before that, and print the merged headline
-    # after every phase so a kill can never lose captured results
+    # run that overstays — stop STARTING phases well before that
     total_budget = float(os.environ.get("BENCH_TOTAL_S", 2700))
+    only = os.environ.get("BENCH_ONLY")
+    phase_list = ([p.strip() for p in only.split(",") if p.strip()]
+                  if only else [p for p in PHASES if p != "selftest"])
 
     def wait_device(attempts=3):
         """Probe the TPU with a throwaway subprocess until it answers.
@@ -517,14 +631,12 @@ def orchestrate():
         process after a heavy process exits — a probe absorbs that
         crash so the next real phase starts on a healthy worker.
         CAPPED: an unresponsive tunnel must not eat the driver budget
-        (round 3 died in exactly this loop) — give up after a few
-        tries and let the caller stop cleanly."""
+        (round 3 died in exactly this loop)."""
         probe = "import jax, jax.numpy as jnp; print(float(jnp.ones(8).sum()))"
         for i in range(attempts):
             try:
                 # a fresh process absorbing a worker crash can take
-                # >4 min to its first dispatch (measured 256 s) — a
-                # shorter timeout fails healthy-but-restarting workers
+                # >4 min to its first dispatch (measured 256 s)
                 if subprocess.run([sys.executable, "-c", probe],
                                   timeout=300,
                                   capture_output=True).returncode == 0:
@@ -536,70 +648,93 @@ def orchestrate():
             time.sleep(30)
         return False
 
-    merged = None
+    merged = {}
     extras = {}
+    lock = threading.Lock()
 
-    def emit():
-        """Print the best-known merged headline NOW. The driver takes
-        the last parseable line, so each emission strictly supersedes
-        the previous one — later phases are purely additive."""
-        m = merged
-        if m is None or "metric" not in m:
-            m = {"metric": "bench_failed", "value": 0.0, "unit": "none",
+    def emit_locked():
+        """Print the best-known merged headline NOW (caller holds
+        lock). The driver takes the last parseable line, so each
+        emission strictly supersedes the previous one."""
+        if "metric" in merged:
+            m = dict(merged)
+        else:
+            m = {"metric": "bench_pending", "value": 0.0, "unit": "none",
                  "vs_baseline": 0.0,
-                 "error": (merged or {}).get("error", "fox phase failed")}
-        m = dict(m)
+                 "error": merged.get("error", "fox phase pending")}
         m["extra"] = {**m.get("extra", {}), **extras}
         print(json.dumps(m), flush=True)
 
+    with lock:
+        emit_locked()  # t=0: a kill at ANY later moment leaves ≥ this
+
+    def reader(pipe, phase):
+        for ln in pipe:
+            ln = ln.strip()
+            if not ln.startswith("{"):
+                continue
+            try:
+                out = json.loads(ln)
+            except json.JSONDecodeError:
+                continue
+            with lock:
+                if phase == "fox":
+                    merged.clear()
+                    merged.update(out)
+                else:
+                    extras[phase] = out
+                emit_locked()
+
     first = True
-    for phase, (_, tmo) in PHASES.items():
+    status = {}
+    extras["phase_status"] = status
+    for phase in phase_list:
         if phase != "fox" and not Path(FOX).exists():
             continue  # image fallback mode: single phase only
         elapsed = time.time() - t_start
         if not first and elapsed + 120 > total_budget:
             print(f"# bench budget spent ({elapsed:.0f}s); skipping {phase}+",
                   file=sys.stderr, flush=True)
-            break
-        if not first and not wait_device():
+            status[phase] = "skipped: budget"
+            continue
+        if not first and phase != "selftest" and not wait_device():
             print("# device unresponsive; stopping with captured results",
                   file=sys.stderr, flush=True)
+            status[phase] = "skipped: device unresponsive"
             break
         first = False
         env = dict(os.environ, BENCH_PHASE=phase, BENCH_RETRIED="0")
         # never let one phase overrun the global budget
-        tmo = int(min(tmo, max(120, total_budget - (time.time() - t_start))))
+        tmo = int(min(PHASES.get(phase, (None, 900))[1],
+                      max(120, total_budget - (time.time() - t_start))))
+        if os.environ.get("BENCH_PHASE_TMO"):  # test hook
+            tmo = min(tmo, int(os.environ["BENCH_PHASE_TMO"]))
+        t_ph = time.time()
         try:
-            # stdout captured for the JSON line; stderr inherited so
-            # phase progress streams live
-            r = subprocess.run(
-                [sys.executable, __file__], env=env, timeout=tmo,
-                stdout=subprocess.PIPE, text=True)
-            line = next((ln for ln in reversed(r.stdout.splitlines())
-                         if ln.startswith("{")), None)
-            out = json.loads(line) if line else {"error": "no output"}
-        except subprocess.TimeoutExpired as e:
-            # the killed child may already have printed a provisional
-            # headline (bench_fox prints one right after the timed
-            # train loop and after each extra) — salvage the last one
-            partial = e.stdout or b""
-            if isinstance(partial, bytes):
-                partial = partial.decode(errors="replace")
-            line = next((ln for ln in reversed(partial.splitlines())
-                         if ln.startswith("{")), None)
-            try:
-                out = json.loads(line) if line else {}
-            except json.JSONDecodeError:
-                out = {}
-            out.setdefault("error", f"phase timeout after {tmo}s")
+            p = subprocess.Popen(
+                [sys.executable, __file__], env=env,
+                stdout=subprocess.PIPE, text=True, start_new_session=True)
         except Exception as e:  # noqa: BLE001
-            out = {"error": str(e)[:120]}
-        if phase == "fox":
-            merged = out
-        else:
-            extras[phase] = out
-        emit()
-    emit()
+            status[phase] = f"spawn failed: {e}"[:120]
+            continue
+        th = threading.Thread(target=reader, args=(p.stdout, phase),
+                              daemon=True)
+        th.start()
+        try:
+            rc = p.wait(timeout=tmo)
+            status[phase] = "ok" if rc == 0 else f"rc={rc}"
+        except subprocess.TimeoutExpired:
+            try:
+                os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                p.kill()
+            status[phase] = f"killed at {tmo}s (captured results kept)"
+        th.join(timeout=15)
+        with lock:
+            status[phase] += f" [{time.time()-t_ph:.0f}s]"
+            emit_locked()
+    with lock:
+        emit_locked()
 
 
 def main():
