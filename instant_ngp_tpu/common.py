@@ -48,6 +48,8 @@ class TestbedMode(enum.Enum):
 class ColorSpace(enum.Enum):
     LINEAR = "linear"
     SRGB = "srgb"
+    # pybind11 member casing of the reference (python_api.cu) — alias
+    Linear = "linear"
 
 
 class NerfActivation(enum.Enum):
@@ -55,6 +57,10 @@ class NerfActivation(enum.Enum):
     RELU = "relu"
     LOGISTIC = "logistic"
     EXPONENTIAL = "exponential"
+    # pybind11 member casing of the reference (python_api.cu) — aliases
+    ReLU = "relu"
+    Logistic = "logistic"
+    Exponential = "exponential"
 
 
 class LossType(enum.Enum):
@@ -77,17 +83,33 @@ class RenderMode(enum.Enum):
     COST = "cost"
     SLICE = "slice"
     ENCODING_VIS = "encoding_vis"
+    # pybind11 member casing of the reference (python_api.cu) — aliases
+    Shade = "shade"
+    Normals = "normals"
+    Positions = "positions"
+    Depth = "depth"
+    Distortion = "distortion"
+    Cost = "cost"
+    Slice = "slice"
+    EncodingVis = "encoding_vis"
 
 
 class GroundTruthRenderMode(enum.Enum):
     SHADE = "shade"
     DEPTH = "depth"
+    # pybind11 member casing of the reference (python_api.cu) — aliases
+    Shade = "shade"
+    Depth = "depth"
 
 
 class MeshSdfMode(enum.Enum):
     WATERTIGHT = "watertight"
     RAYSTAB = "raystab"
     PATH_ESCAPE = "path_escape"
+    # pybind11 member casing of the reference (python_api.cu) — aliases
+    Watertight = "watertight"
+    Raystab = "raystab"
+    PathEscape = "path_escape"
     # extension: exact sign from angle-weighted pseudonormals (the
     # default here; the reference's PathEscape needs OptiX)
     PSEUDONORMAL = "pseudonormal"
@@ -98,6 +120,11 @@ class RandomMode(enum.Enum):
     HALTON = "halton"
     SOBOL = "sobol"
     STRATIFIED = "stratified"
+    # pybind11 member casing of the reference (python_api.cu) — aliases
+    Random = "random"
+    Halton = "halton"
+    Sobol = "sobol"
+    Stratified = "stratified"
 
 
 class TonemapCurve(enum.Enum):
@@ -105,6 +132,10 @@ class TonemapCurve(enum.Enum):
     ACES = "aces"
     HABLE = "hable"
     REINHARD = "reinhard"
+    # pybind11 member casing of the reference (python_api.cu) — aliases
+    Identity = "identity"
+    Hable = "hable"
+    Reinhard = "reinhard"
 
 
 class LensMode(enum.Enum):
@@ -115,6 +146,14 @@ class LensMode(enum.Enum):
     LATLONG = "latlong"
     EQUIRECTANGULAR = "equirectangular"
     ORTHOGRAPHIC = "orthographic"
+    # pybind11 member casing of the reference (python_api.cu) — aliases
+    Perspective = "perspective"
+    OpenCV = "opencv"
+    OpenCVFisheye = "opencv_fisheye"
+    FTheta = "ftheta"
+    LatLong = "latlong"
+    Equirectangular = "equirectangular"
+    Orthographic = "orthographic"
 
 
 class Lens:

@@ -163,13 +163,20 @@ class TriangleWave(Encoding):
 
 @dataclasses.dataclass(frozen=True)
 class Composite(Encoding):
-    """Nested encodings over disjoint slices of the input dims
-    (reference configs/nerf/base.json:37-48)."""
+    """Nested encodings over slices of the input dims (reference
+    configs/nerf/base.json:37-48). Slices are consecutive by default;
+    an explicit ``begins`` tuple allows overlapping slices — the
+    tcnn ``dims_to_encode_begin`` key, used by configs/nerf/tensor.json
+    (tri-plane-style HashGrids over dims (0,1), (1,2), (2,3))."""
 
     nested: tuple = ()
+    begins: tuple | None = None
 
     @property
     def n_dims_to_encode(self):
+        if self.begins is not None:
+            return max(b + e.n_dims_to_encode
+                       for b, e in zip(self.begins, self.nested))
         return sum(e.n_dims_to_encode for e in self.nested)
 
     @property
@@ -189,10 +196,11 @@ class Composite(Encoding):
         d0 = 0
         if params is None:
             params = [None] * len(self.nested)
-        for e, p in zip(self.nested, params):
-            xs = x[..., d0 : d0 + e.n_dims_to_encode]
+        for i, (e, p) in enumerate(zip(self.nested, params)):
+            b = self.begins[i] if self.begins is not None else d0
+            xs = x[..., b : b + e.n_dims_to_encode]
             outs.append(e(p, xs, max_level=max_level, compute_dtype=compute_dtype))
-            d0 += e.n_dims_to_encode
+            d0 = b + e.n_dims_to_encode
         return jnp.concatenate(outs, axis=-1)
 
 
@@ -215,9 +223,15 @@ def encoding_from_config(cfg: dict, n_dims: int) -> Encoding:
         return TriangleWave(int(cfg.get("n_frequencies", 12)), n_dims)
     if otype == "composite":
         nested = []
-        remaining = n_dims
+        begins = []
+        cursor = 0
+        explicit = False
         specs = cfg.get("nested", [])
         for i, sub in enumerate(specs):
+            begin = sub.get("dims_to_encode_begin")
+            if begin is not None:
+                explicit = True
+            b = int(begin) if begin is not None else cursor
             nd = int(sub.get("n_dims_to_encode", 0))
             if nd == 0:
                 # tcnn gives unset dims to the last nested encoding only;
@@ -227,12 +241,21 @@ def encoding_from_config(cfg: dict, n_dims: int) -> Encoding:
                         "Composite: n_dims_to_encode must be set on all "
                         "nested encodings except the last"
                     )
-                nd = remaining
+                nd = n_dims - b
+            # clamp to the actual input width: the reference feeds
+            # (pos, dt) = 4 dims to the pos encoding (nerf_network.h),
+            # our encoding input is pos-only — tensor.json's (2,3)
+            # slice becomes a 1-D grid over z
+            nd = min(nd, n_dims - b)
+            if nd <= 0:
+                continue  # degenerate slice (e.g. no extra dims) → no-op
+            sub = dict(sub, n_dims_to_encode=nd)
             nested.append(encoding_from_config(sub, nd))
-            remaining -= nd
-        if remaining < 0:
+            begins.append(b)
+            cursor = b + nd
+        if cursor > n_dims:
             raise ValueError(
                 f"Composite: nested n_dims_to_encode exceed input dims ({n_dims})"
             )
-        return Composite(tuple(nested))
+        return Composite(tuple(nested), tuple(begins) if explicit else None)
     raise ValueError(f"unknown encoding otype: {cfg.get('otype')}")

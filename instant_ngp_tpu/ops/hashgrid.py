@@ -483,6 +483,12 @@ class GridEncoding:
         return tuple(out)
 
     @property
+    def n_dims_to_encode(self) -> int:
+        # Encoding-protocol name (ops/encodings.py) — Composite slices
+        # its input by this
+        return self.n_dims
+
+    @property
     def n_entries(self) -> int:
         lv = self.levels
         return lv[-1].offset + lv[-1].size

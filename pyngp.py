@@ -83,6 +83,12 @@ Quartic = EditingKernel.QUARTIC
 Hat = EditingKernel.HAT
 Box = EditingKernel.BOX
 
+# reference module-level classes (python_api.cu:435, 781/869/876):
+# `ngp.path` wraps fs::path — pathlib.Path is the drop-in; `Training`
+# is the pybind name of the nested per-primitive training views
+path = Path
+from instant_ngp_tpu.testbed import _NerfTrainingView as Training  # noqa: E402,F401
+
 __all__ = [
     "Testbed",
     "TestbedMode",
