@@ -462,7 +462,7 @@ def resample_layer(layer, e_p, z_src, src_lo, src_hi, z_dst, dst_lo,
     vi = (v_s - src_lo[1]) / (src_hi[1] - src_lo[1]) * B - 0.5
     Wu = _interp_matrix(ui, B)
     Wv = _interp_matrix(vi, B)
-    empty = jnp.zeros((LAYER_CH,), f32).at[3].set(1.0)
+    empty = jnp.zeros((layer.shape[-1],), f32).at[3].set(1.0)
     delta = layer - empty
     out = jnp.einsum("vn,unc->uvc", Wv,
                      jnp.einsum("un,nvc->uvc", Wu, delta))
@@ -470,12 +470,15 @@ def resample_layer(layer, e_p, z_src, src_lo, src_hi, z_dst, dst_lo,
 
 
 def composite_layers(a, b):
-    """Front-to-back composite of two (…,LAYER_CH) layers: a over b."""
+    """Front-to-back composite of two (…, C) layers: a over b.
+    Channel 3 is transmittance (multiplicative); every other channel
+    (rgb, weighted depth, deferred-shading features) accumulates
+    additively weighted by the front layer's T."""
     Ta = a[..., 3:4]
     return jnp.concatenate(
         [a[..., :3] + Ta * b[..., :3],
          Ta * b[..., 3:4],
-         a[..., 4:5] + Ta * b[..., 4:5]], -1)
+         a[..., 4:] + Ta * b[..., 4:]], -1)
 
 
 # ---------------------------------------------------------------------------
@@ -623,6 +626,23 @@ def _group_stats(dirs):
     lo = jnp.min(jnp.where(sel, duv[:, None, :], big), axis=0)
     hi = jnp.max(jnp.where(sel, duv[:, None, :], -big), axis=0)
     return counts, lo, hi
+
+
+def _warp_sharded(mesh, dirs, *args, **static):
+    """Pixel-sharded final warp: dirs split along the mesh's data axis,
+    packed layers + tables replicated (they are model state, like
+    params). This is the multi-chip slab fan-out — the sweeps are
+    bake-rate work (replicated or per-group), the per-pixel warp is the
+    per-frame work that scales with devices. Reference analog: the
+    multi-GPU render fan-out (testbed.cu render-to-screen dispatch)."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    local = functools.partial(_warp_composite, **static)
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis),) + (P(),) * len(args),
+        out_specs=P(axis), check_vma=False)(dirs, *args)
 
 
 @functools.partial(jax.jit,
@@ -868,7 +888,7 @@ def _host_k0(e0: float, n: int, lo: float, hi: float, sign: float) -> int:
 
 
 def _render_fused(dvols, eye, dirs_d, groups, duv_lo, duv_hi, vol_t,
-                  background, B0, Bo):
+                  background, B0, Bo, mesh=None):
     """Fused-path frame: ONE sweep_group_merged dispatch per present
     group + one warp. All per-octave planning is either static (the
     ladder) or traced scalars, so every camera shares the compiled
@@ -927,7 +947,9 @@ def _render_fused(dvols, eye, dirs_d, groups, duv_lo, duv_hi, vol_t,
     l_dev = jnp.stack([layers.get(g, empty) for g in range(6)])
     l_pk = quad_pack(l_dev)
     outer_pk = jnp.zeros((1, 4 * LAYER_CH), jnp.bfloat16)
-    return _warp_composite(
+    warp = (_warp_composite if mesh is None
+            else functools.partial(_warp_sharded, mesh))
+    return warp(
         dirs_d, jnp.asarray(eye), outer_pk, l_pk, jnp.asarray(zb_tab),
         jnp.asarray(win_lo_tab), jnp.asarray(win_hi_tab),
         jnp.asarray(np.asarray(background, np.float32)),
@@ -943,6 +965,7 @@ def render_frame(
     Bo: int = 256,
     merge_layers: bool = True,
     plan=None,
+    mesh=None,
 ):
     """Render unit ray dirs (N,3) from `eye` through the dense volumes.
     Returns (N, 5) [premult rgb, alpha, depth] as a jax array.
@@ -991,7 +1014,7 @@ def render_frame(
 
     if merge_layers:
         return _render_fused(dvols, eye, dirs_d, groups, duv_lo, duv_hi,
-                             vol_t, background, B0, Bo)
+                             vol_t, background, B0, Bo, mesh=mesh)
 
     zb_tab = np.zeros((6, n_layers), np.float32)
     win_lo_tab = np.ones((6, n_layers, 2), np.float32)
@@ -1113,7 +1136,9 @@ def render_frame(
     l_pk = quad_pack(l_dev)
     outer_pk = (quad_pack(outer_dev) if outer_dev is not None
                 else jnp.zeros((1, 4 * LAYER_CH), jnp.bfloat16))
-    return _warp_composite(
+    warp = (_warp_composite if mesh is None
+            else functools.partial(_warp_sharded, mesh))
+    return warp(
         dirs_d, jnp.asarray(eye), outer_pk, l_pk,
         jnp.asarray(zb_tab), jnp.asarray(win_lo_tab),
         jnp.asarray(win_hi_tab), jnp.asarray(background, jnp.float32),

@@ -1586,10 +1586,13 @@ class NerfTask:
                 focal_length, principal_point)
         # d stays ON DEVICE: render_frame plans from the host plan or a
         # device-reduced summary, never the (N,3) array (24 MB at 1080p)
+        # when a device mesh is attached, the per-pixel warp fans out
+        # across it (pixels sharded, layers replicated — slab._warp_sharded)
         out = _slab.render_frame(dvols, eye, d,
                                  background=np.asarray(background,
                                                        np.float32),
-                                 B0=B0, Bo=B0 // 2, plan=plan)
+                                 B0=B0, Bo=B0 // 2, plan=plan,
+                                 mesh=self.mesh)
         # slice on DEVICE before the host copy: the pad rows and (when
         # unused) the depth channel never cross the tunnel
         if return_depth:
