@@ -359,12 +359,24 @@ def bench_render_fox():
             out["slab_1080p"] = rays_per_s(1920, 1080, render_quality="slab",
                                            out_uint8=True)
             emit()
+            # default = deferred view dependence (one bake, every
+            # camera: slab.make_deferred_decode) — the interactive mode
             img_s = np.asarray(task.render(256, 256, xf,
                                            **kw_for(256, 256,
                                                     render_quality="slab")))
             out["slab_vs_exact_psnr"] = agree(img_exact, img_s)
             emit()
-            # apples-to-apples: per-camera view-dependent bake
+            # ablation: diffuse-only bake (round-4 default, 11.85 dB)
+            task.slab_deferred_vd = False
+            task._slab_cache = None
+            img_d0 = np.asarray(task.render(256, 256, xf,
+                                            **kw_for(256, 256,
+                                                     render_quality="slab")))
+            task.slab_deferred_vd = True
+            task._slab_cache = None
+            out["slab_vs_exact_psnr_diffuse"] = agree(img_exact, img_d0)
+            emit()
+            # apples-to-apples ceiling: per-camera view-dependent bake
             task.slab_bake_view_dependent = True
             img_v = np.asarray(task.render(256, 256, xf,
                                            **kw_for(256, 256,

@@ -85,6 +85,17 @@ class DenseVolumes:
     n_cascades: int
     boxes: np.ndarray | None = None  # (nc, 2, 3) world [lo, hi]
     vt_cache: dict | None = None     # axis → transposed volumes (lazy)
+    feat_proj: tuple | None = None   # (mu(16,), sd(16,), P(16,F)) PCA
+
+    @property
+    def n_feat(self) -> int:
+        """Deferred-shading feature channels carried per voxel."""
+        return int(self.volumes[0].shape[-1]) - 4
+
+    @property
+    def layer_ch(self) -> int:
+        """Swept-layer channel count: [rgb, T, depth, features…]."""
+        return LAYER_CH + self.n_feat
 
     def box(self, m: int):
         if self.boxes is not None:
@@ -150,6 +161,7 @@ def bake_dense(
     bricks=None,
     eval_fn=None,
     boxes: np.ndarray | None = None,
+    feat_proj=None,
 ) -> DenseVolumes:
     """Bake the model into dense per-cascade volumes.
 
@@ -161,7 +173,9 @@ def bake_dense(
     aabb_min = np.asarray(aabb_min, np.float32)
     aabb_max = np.asarray(aabb_max, np.float32)
     if eval_fn is None:
-        eval_fn = make_voxel_eval(model, rgb_activation, density_activation)
+        eval_fn = make_voxel_eval(model, rgb_activation, density_activation,
+                                  feat_proj=feat_proj)
+    C = 4 + (0 if feat_proj is None else int(np.shape(feat_proj[2])[1]))
     bitfield = np.asarray(bitfield)
     Gb = bitfield.shape[1]
     max_mip = n_cascades - 1
@@ -216,7 +230,7 @@ def bake_dense(
         # one overflow row at the end: padded chunk rows scatter there,
         # keeping the whole bake ON DEVICE (the old host round-trip
         # fetched ~100 MB of evals through the tunnel per bake)
-        vol = jnp.zeros((n * n * n + 1, 4), jnp.bfloat16)
+        vol = jnp.zeros((n * n * n + 1, C), jnp.bfloat16)
         if len(ijk):
             n_chunks = (len(ijk) + chunk - 1) // chunk
             pad = n_chunks * chunk - len(ijk)
@@ -238,10 +252,11 @@ def bake_dense(
                                origin_d, origin is not None)
                 vol = vol.at[flat_d[s : s + chunk]].set(
                     vals.astype(jnp.bfloat16))
-        volumes.append(vol[: n * n * n].reshape(n, n, n, 4))
+        volumes.append(vol[: n * n * n].reshape(n, n, n, C))
         res_list.append(n)
     return DenseVolumes(volumes=volumes, res=res_list,
-                        n_cascades=n_levels, boxes=boxes)
+                        n_cascades=n_levels, boxes=boxes,
+                        feat_proj=feat_proj)
 
 
 FIXED_BAKE_DIR = np.float32([0.5774, 0.5774, 0.5774])
@@ -255,7 +270,8 @@ _SIGMA_TAPS = np.float32([
 ])
 
 
-def make_voxel_eval(model, rgb_activation, density_activation):
+def make_voxel_eval(model, rgb_activation, density_activation,
+                    feat_proj=None):
     """Jitted voxel-center evaluator: (C,3) int cells of the level box
     [box_lo, box_lo+box_size] at resolution n → (C,4) activated
     [σ_eff·r, σ_eff·g, σ_eff·b, sigma_eff] (σ-premultiplied color).
@@ -267,7 +283,15 @@ def make_voxel_eval(model, rgb_activation, density_activation):
     opacity on the low-density outer fuzz). Bake
     σ_eff = −log(mean_taps exp(−σ_tap·dz))/dz from 4 sub-voxel density
     taps + the center so one coarse step reproduces the voxel's true
-    mean transmittance."""
+    mean transmittance.
+
+    feat_proj=(mu, sd, P): deferred view dependence (the SNeRG split,
+    Hedman et al. recast post-hoc). The 16-dim density-MLP output f is
+    standardized and projected to F=P.shape[1] dims; the volume gains F
+    extra σ-premultiplied channels [σ·((f−mu)/sd)@P]. The renderer
+    composites them like color and decodes per PIXEL with the exact
+    rgb MLP on the PCA-reconstructed feature (task._render_slab) —
+    view-dependent shading without a per-camera rebake."""
 
     @functools.partial(jax.jit, static_argnums=(8,))
     def eval_chunk(params, bricks, cells, box_lo, box_size, n, aabb,
@@ -282,9 +306,20 @@ def make_voxel_eval(model, rgb_activation, density_activation):
                 jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
         else:
             d = jnp.broadcast_to(origin_or_dir, world.shape)
-        out = model(params, pos_w, warp_direction(d), bricks=bricks)
-        rgb = network_to_rgb(out[:, :3].astype(jnp.float32), rgb_activation)
-        sigma_c = network_to_density(out[:, 3].astype(jnp.float32),
+        # density features once; rgb head on [features ⊕ SH(dir)] — the
+        # same math as model.__call__, with f exposed for projection
+        d_out = model.density(params, pos_w, bricks=bricks)
+        dir_feats = model.dir_encoding(params.get("dir_enc"),
+                                       warp_direction(d))
+        rgb_in = [d_out, dir_feats]
+        if model.n_extra_dims > 0:
+            rgb_in.append(jnp.zeros((pos_w.shape[0], model.n_extra_dims),
+                                    d_out.dtype))
+        rgb_logits = model.rgb_network(params["rgb_net"],
+                                       jnp.concatenate(rgb_in, -1))
+        rgb = network_to_rgb(rgb_logits[:, :3].astype(jnp.float32),
+                             rgb_activation)
+        sigma_c = network_to_density(d_out[:, 0].astype(jnp.float32),
                                      density_activation)
         # sub-voxel density taps (density-only path: no dir encoding)
         dz = box_size[0] / nf  # voxel size in scene units (cubical box)
@@ -305,8 +340,12 @@ def make_voxel_eval(model, rgb_activation, density_activation):
         # masked voxels ⇒ global darkening, measured 11 dB agreement).
         # Storing [σr, σg, σb, σ] makes empty voxels zero-WEIGHT instead
         # of zero-color: the sweep divides after interpolation.
-        return jnp.concatenate([rgb * sigma_eff[:, None],
-                                sigma_eff[:, None]], -1)
+        out = [rgb * sigma_eff[:, None], sigma_eff[:, None]]
+        if feat_proj is not None:
+            mu, sd, Pm = (jnp.asarray(a, jnp.float32) for a in feat_proj)
+            f = (d_out.astype(jnp.float32) - mu) / sd @ Pm
+            out.append(f * sigma_eff[:, None])
+        return jnp.concatenate(out, -1)
 
     return eval_chunk
 
@@ -380,8 +419,11 @@ def sweep_octave(
     t_inner = _ray_box_entry(e_p, dirs, inner_lo_p, inner_hi_p)
     sgn_i = jnp.where(sign > 0, 1, -1).astype(jnp.int32)
 
+    CV = vol_t.shape[-1]          # 4 (+F deferred-shading features)
+    nv = CV - 1                   # non-σ value channels per voxel
+
     def body(carry, j):
-        rgb_f, T_f, dw_f, rgb_b, T_b, dw_b = carry
+        val_f, T_f, dw_f, val_b, T_b, dw_b = carry
         ksl_raw = k_first + sgn_i * j
         valid_k = (ksl_raw >= 0) & (ksl_raw < n)
         ksl = jnp.clip(ksl_raw, 0, n - 1)
@@ -403,13 +445,16 @@ def sweep_octave(
                           tmp.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
         sigma = jnp.maximum(slab[..., 3], 0.0)
-        # volumes store σ-premultiplied rgb: divide the interpolated
-        # [σr,σg,σb] by interpolated σ so empty (all-zero) voxels are
-        # zero-weight, not black. Border coverage (interp rows sum <1)
-        # cancels in the ratio and survives in σ ⇒ opacity fades at the
-        # window edge while color stays true.
-        col = jnp.maximum(slab[..., :3], 0.0) / jnp.maximum(
-            sigma, 1e-8)[..., None]
+        # volumes store σ-premultiplied rgb (and features): divide the
+        # interpolated [σr,σg,σb,σf…] by interpolated σ so empty
+        # (all-zero) voxels are zero-weight, not black. Border coverage
+        # (interp rows sum <1) cancels in the ratio and survives in σ ⇒
+        # opacity fades at the window edge while color stays true.
+        # rgb clamps at 0; features are signed and stay unclamped.
+        inv_s = 1.0 / jnp.maximum(sigma, 1e-8)[..., None]
+        col = jnp.maximum(slab[..., :3], 0.0) * inv_s
+        vals = (col if CV == 4 else
+                jnp.concatenate([col, slab[..., 4:] * inv_s], -1))
         t_k = (z_k - e_p[0]) * sign * q   # euclidean distance from eye
         alpha = 1.0 - jnp.exp(-sigma * dz * q)
         alpha = jnp.where(ahead, alpha, 0.0)
@@ -418,21 +463,25 @@ def sweep_octave(
         a_b = jnp.where(mf, 0.0, alpha)
         w_f = T_f * a_f
         w_b = T_b * a_b
-        rgb_f = rgb_f + w_f[..., None] * col
+        val_f = val_f + w_f[..., None] * vals
         dw_f = dw_f + w_f * t_k
         T_f = T_f * (1.0 - a_f)
-        rgb_b = rgb_b + w_b[..., None] * col
+        val_b = val_b + w_b[..., None] * vals
         dw_b = dw_b + w_b * t_k
         T_b = T_b * (1.0 - a_b)
-        return (rgb_f, T_f, dw_f, rgb_b, T_b, dw_b), None
+        return (val_f, T_f, dw_f, val_b, T_b, dw_b), None
 
     z = jnp.zeros((B, B))
-    init = (jnp.zeros((B, B, 3)), jnp.ones((B, B)), z,
-            jnp.zeros((B, B, 3)), jnp.ones((B, B)), z)
-    (rgb_f, T_f, dw_f, rgb_b, T_b, dw_b), _ = jax.lax.scan(
+    init = (jnp.zeros((B, B, nv)), jnp.ones((B, B)), z,
+            jnp.zeros((B, B, nv)), jnp.ones((B, B)), z)
+    (val_f, T_f, dw_f, val_b, T_b, dw_b), _ = jax.lax.scan(
         body, init, jnp.arange(L))
-    front = jnp.concatenate([rgb_f, T_f[..., None], dw_f[..., None]], -1)
-    back = jnp.concatenate([rgb_b, T_b[..., None], dw_b[..., None]], -1)
+    # layer layout [rgb, T, weighted depth, features…] — rgb/T/depth
+    # keep their indices regardless of F
+    front = jnp.concatenate([val_f[..., :3], T_f[..., None],
+                             dw_f[..., None], val_f[..., 3:]], -1)
+    back = jnp.concatenate([val_b[..., :3], T_b[..., None],
+                            dw_b[..., None], val_b[..., 3:]], -1)
     return front, back
 
 
@@ -688,6 +737,7 @@ def _warp_composite(dirs, eye, outer_pk, l_pk, zb_tab, win_lo_tab,
 
     n_layers = 2 * nc - 1
     mid = nc - 1  # composite-order index of the innermost layer
+    C = l_pk.shape[-1] // 4  # layer channels (LAYER_CH + features)
 
     def layer_uv(li, B):
         zb = table(zb_tab[:, li])
@@ -710,14 +760,14 @@ def _warp_composite(dirs, eye, outer_pk, l_pk, zb_tab, win_lo_tab,
         fv = jnp.clip(vi - j0.astype(jnp.float32), 0.0, 1.0)
         rows = jnp.take(pk, row_base + i0 * B + j0,
                         axis=0).astype(jnp.float32)
-        r = rows.reshape(-1, 2, 2, LAYER_CH)
+        r = rows.reshape(-1, 2, 2, C)
         out = ((1 - fu) * (1 - fv))[:, None] * r[:, 0, 0] \
             + ((1 - fu) * fv)[:, None] * r[:, 0, 1] \
             + (fu * (1 - fv))[:, None] * r[:, 1, 0] \
             + (fu * fv)[:, None] * r[:, 1, 1]
         inside = ((ui >= -0.5) & (ui <= B - 0.5) & (vi >= -0.5)
                   & (vi <= B - 0.5))
-        empty = jnp.zeros((LAYER_CH,), jnp.float32).at[3].set(1.0)
+        empty = jnp.zeros((C,), jnp.float32).at[3].set(1.0)
         return jnp.where(inside[:, None], out, empty)
 
     out = None
@@ -731,7 +781,55 @@ def _warp_composite(dirs, eye, outer_pk, l_pk, zb_tab, win_lo_tab,
         out = lay if out is None else composite_layers(out, lay)
     rgb = out[..., :3] + out[..., 3:4] * bg[:3] * bg[3]
     alpha = 1.0 - out[..., 3] * (1.0 - bg[3])
+    if C > LAYER_CH:
+        # deferred-shading mode: expose the pre-background transmittance
+        # and the composited feature channels for the per-pixel decode →
+        # [rgb, alpha, depth, T, feat…]
+        return jnp.concatenate([rgb, alpha[:, None], out[..., 4:5],
+                                out[..., 3:4], out[..., 5:]], -1)
     return jnp.concatenate([rgb, alpha[:, None], out[..., 4:5]], -1)
+
+
+def make_deferred_decode(model, rgb_activation):
+    """Per-PIXEL deferred view-dependent shading (the SNeRG split,
+    recast post-hoc — no retraining, no per-camera rebake).
+
+    The warp's feature-mode output is [rgb, alpha, depth, T, feat(F)]
+    where feat is the alpha-composited PCA-projected density-MLP
+    feature. Reconstruct the 16-dim feature through the stored PCA
+    basis, run the EXACT rgb MLP twice — at the pixel's true view
+    direction and at the bake's fixed direction — and add the
+    opacity-weighted difference to the baked diffuse color. One dense
+    (N,·)x(·,64) matmul pair per frame: MXU work, no gathers.
+
+    Exactness regime: a ray dominated by one surface with locally
+    constant features (SNeRG's assumption); mixing error is bounded by
+    the rgb head's Lipschitz constant over the feature simplex."""
+
+    @jax.jit
+    def decode(out, dirs, rgb_params, dir_params, mu, sd, Pm, d0):
+        W = 1.0 - out[:, 5]                       # content opacity Σw
+        fbar = out[:, 6:] / jnp.maximum(W, 1e-6)[:, None]
+        recon = fbar @ Pm.T * sd + mu             # (N, 16)
+        de_v = model.dir_encoding(dir_params, warp_direction(dirs))
+        de_0 = model.dir_encoding(
+            dir_params, warp_direction(jnp.broadcast_to(d0, dirs.shape)))
+
+        def head(de):
+            inputs = [recon.astype(jnp.bfloat16), de]
+            if model.n_extra_dims > 0:
+                inputs.append(jnp.zeros(
+                    (recon.shape[0], model.n_extra_dims), jnp.bfloat16))
+            logits = model.rgb_network(rgb_params,
+                                       jnp.concatenate(inputs, -1))
+            return network_to_rgb(logits[:, :3].astype(jnp.float32),
+                                  rgb_activation)
+
+        spec = head(de_v) - head(de_0)
+        rgb = out[:, :3] + W[:, None] * spec
+        return jnp.concatenate([rgb, out[:, 3:5]], -1)
+
+    return decode
 
 
 def static_ladder(n: int) -> tuple:
@@ -941,12 +1039,12 @@ def _render_fused(dvols, eye, dirs_d, groups, duv_lo, duv_hi, vol_t,
         win_lo_tab[g, 0] = wlo
         win_hi_tab[g, 0] = whi
     if empty is None:
+        Cl = dvols.layer_ch
         empty = jnp.broadcast_to(
-            jnp.zeros((LAYER_CH,), jnp.float32).at[3].set(1.0),
-            (B0, B0, LAYER_CH))
+            jnp.zeros((Cl,), jnp.float32).at[3].set(1.0), (B0, B0, Cl))
     l_dev = jnp.stack([layers.get(g, empty) for g in range(6)])
     l_pk = quad_pack(l_dev)
-    outer_pk = jnp.zeros((1, 4 * LAYER_CH), jnp.bfloat16)
+    outer_pk = jnp.zeros((1, 4 * dvols.layer_ch), jnp.bfloat16)
     warp = (_warp_composite if mesh is None
             else functools.partial(_warp_sharded, mesh))
     return warp(
@@ -1019,12 +1117,13 @@ def render_frame(
     zb_tab = np.zeros((6, n_layers), np.float32)
     win_lo_tab = np.ones((6, n_layers, 2), np.float32)
     win_hi_tab = np.full((6, n_layers, 2), 2.0, np.float32)  # degenerate
-    l_stack = np.zeros((6, B0, B0, LAYER_CH), np.float32)
+    Cl = dvols.layer_ch
+    l_stack = np.zeros((6, B0, B0, Cl), np.float32)
     l_stack[..., 3] = 1.0
     l_dev = jnp.asarray(l_stack)
     outer_dev = None
     if nc > 1 and not merge_layers:
-        o_stack = np.zeros((6, n_layers - 1, Bo, Bo, LAYER_CH), np.float32)
+        o_stack = np.zeros((6, n_layers - 1, Bo, Bo, Cl), np.float32)
         o_stack[..., 3] = 1.0
         outer_dev = jnp.asarray(o_stack)
 
@@ -1094,7 +1193,7 @@ def render_frame(
                 z_fake = float(e_p[0] + sgn)
                 wlo, whi = footprint(z_fake, dz)
                 empty = jnp.broadcast_to(
-                    jnp.zeros((LAYER_CH,)).at[3].set(1.0), (B, B, LAYER_CH))
+                    jnp.zeros((Cl,)).at[3].set(1.0), (B, B, Cl))
                 merged = (empty, empty, z_fake, wlo, whi)
             per_cascade.append(merged)
 
@@ -1135,7 +1234,7 @@ def render_frame(
 
     l_pk = quad_pack(l_dev)
     outer_pk = (quad_pack(outer_dev) if outer_dev is not None
-                else jnp.zeros((1, 4 * LAYER_CH), jnp.bfloat16))
+                else jnp.zeros((1, 4 * dvols.layer_ch), jnp.bfloat16))
     warp = (_warp_composite if mesh is None
             else functools.partial(_warp_sharded, mesh))
     return warp(

@@ -409,14 +409,31 @@ class NerfTask:
         # (slab.clipmap_boxes)
         self.slab_finest_extent = 0.25
         self.slab_bake_view_dependent = False
+        # deferred view dependence (SNeRG split, slab.make_deferred_decode):
+        # bake PCA-projected density-MLP features alongside diffuse rgb,
+        # decode per PIXEL with the exact rgb head — view-dependent
+        # shading from ONE bake, no per-camera rebake
+        self.slab_deferred_vd = True
+        self.slab_n_feat = 3
+        self._slab_feat_proj = None   # frozen (mu, sd, P) PCA basis
+        self._slab_decode = None      # jitted decoder (lazy)
+        self._slab_decode_params = None  # (rgb_net, dir_enc) at bake step
+        self._voxel_eval_feat = None
         # render-space controls (reference render_aabb crop box
         # testbed.h:708, near distance, DoF aperture/focus
         # init_rays_with_payload_kernel_nerf testbed_nerf.cu:1414-1528)
         self.render_aabb_min = np.array(self.aabb_min)
         self.render_aabb_max = np.array(self.aabb_max)
         if dataset.render_aabb is not None:
-            self.render_aabb_min = np.asarray(dataset.render_aabb[0], np.float32)
-            self.render_aabb_max = np.asarray(dataset.render_aabb[1], np.float32)
+            # dataset crop INTERSECTS the scene aabb; an empty box means
+            # no crop (reference testbed_nerf.cu:2427-2431)
+            lo = np.maximum(np.asarray(dataset.render_aabb[0], np.float32),
+                            self.render_aabb_min)
+            hi = np.minimum(np.asarray(dataset.render_aabb[1], np.float32),
+                            self.render_aabb_max)
+            if (hi > lo).all():
+                self.render_aabb_min = lo
+                self.render_aabb_max = hi
         # rotated crop box: a point p is cropped-in iff
         # render_aabb.contains(render_aabb_to_local @ p) (reference
         # m_render_aabb_to_local, testbed.h:709; ray clip
@@ -1519,7 +1536,10 @@ class NerfTask:
         if eye is not None and self.max_cascade > 0:
             boxes = _slab.clipmap_boxes(eye, self.aabb_min, self.aabb_max,
                                         finest_extent=self.slab_finest_extent)
+        deferred = (self.slab_deferred_vd and origin is None
+                    and self.slab_n_feat > 0)
         key = (self.training_step, self.slab_res0, self.slab_res_outer,
+               deferred,
                None if origin is None else
                tuple(np.round(np.asarray(origin, np.float64), 4).tolist()),
                None if boxes is None else boxes.tobytes())
@@ -1528,19 +1548,71 @@ class NerfTask:
             return c[1]
         params = self.opt.inference_params(self.state.opt_state,
                                            self.state.params)
-        if getattr(self, "_voxel_eval", None) is None:
-            self._voxel_eval = _slab.make_voxel_eval(
-                self.model, self.rgb_activation, self.density_activation)
+        feat_proj = self._get_slab_feat_proj(params) if deferred else None
+        if feat_proj is None:
+            if getattr(self, "_voxel_eval", None) is None:
+                self._voxel_eval = _slab.make_voxel_eval(
+                    self.model, self.rgb_activation,
+                    self.density_activation)
+            eval_fn = self._voxel_eval
+        else:
+            # separate cached evaluator: feat_proj is frozen per task,
+            # so this closure compiles exactly once
+            if self._voxel_eval_feat is None:
+                self._voxel_eval_feat = _slab.make_voxel_eval(
+                    self.model, self.rgb_activation,
+                    self.density_activation, feat_proj=feat_proj)
+            eval_fn = self._voxel_eval_feat
         dvols = _slab.bake_dense(
             self.model, params, np.asarray(self.state.grid.bitfield),
             self.max_cascade + 1, self.aabb_min, self.aabb_max,
             self.rgb_activation, self.density_activation,
             origin=origin, res0=self.slab_res0,
             res_outer=self.slab_res_outer,
-            bricks=self._get_bricks(params), eval_fn=self._voxel_eval,
-            boxes=boxes)
+            bricks=self._get_bricks(params), eval_fn=eval_fn,
+            boxes=boxes, feat_proj=feat_proj)
+        self._slab_decode_params = (params["rgb_net"],
+                                    params.get("dir_enc"))
         self._slab_cache = (key, dvols)
         return dvols
+
+    def _get_slab_feat_proj(self, params):
+        """Frozen PCA basis (mu(16,), sd(16,), P(16,F)) over density-MLP
+        features at occupied-grid sample points, for the deferred
+        view-dependence bake (slab.make_voxel_eval feat_proj). Computed
+        ONCE per task: the basis is a projection, not model state — a
+        slightly stale basis still spans the feature space — and
+        freezing it keeps the bake evaluator's closure (and compile)
+        stable across bakes."""
+        if self._slab_feat_proj is not None:
+            return self._slab_feat_proj
+        F = int(self.slab_n_feat)
+        bf = np.asarray(self.state.grid.bitfield)
+        G = bf.shape[1]
+        rng = np.random.default_rng(3)
+        pts = []
+        for mip in range(bf.shape[0]):
+            idx = np.flatnonzero(bf[mip])
+            if len(idx) == 0:
+                continue
+            if len(idx) > 8192:
+                idx = rng.choice(idx, 8192, replace=False)
+            i, j, k = np.unravel_index(idx, (G, G, G))
+            cell = (np.stack([i, j, k], -1)
+                    + rng.random((len(idx), 3))) / G
+            pts.append((cell - 0.5) * (2.0 ** mip) + 0.5)
+        pos = (np.concatenate(pts, 0).astype(np.float32) if pts
+               else rng.random((4096, 3)).astype(np.float32))
+        pos_w = (pos - self.aabb_min) / (self.aabb_max - self.aabb_min)
+        feats = np.asarray(self.model.density(
+            params, jnp.asarray(np.clip(pos_w, 0.0, 1.0)),
+            bricks=self._get_bricks(params)).astype(jnp.float32))
+        mu = feats.mean(0).astype(np.float32)
+        sd = np.maximum(feats.std(0), 1e-4).astype(np.float32)
+        _, _, vt = np.linalg.svd((feats - mu) / sd, full_matrices=False)
+        self._slab_feat_proj = (mu, sd,
+                                vt[:F].T.astype(np.float32).copy())
+        return self._slab_feat_proj
 
     def _render_slab(self, width, height, xform, focal_length,
                      principal_point, background, return_depth=False,
@@ -1593,6 +1665,18 @@ class NerfTask:
                                                        np.float32),
                                  B0=B0, Bo=B0 // 2, plan=plan,
                                  mesh=self.mesh)
+        if getattr(dvols, "n_feat", 0) > 0:
+            # deferred view-dependent decode: exact rgb head once per
+            # PIXEL on the PCA-reconstructed composited feature (dense
+            # MXU matmuls — adds no gathers; slab.make_deferred_decode)
+            if self._slab_decode is None:
+                self._slab_decode = _slab.make_deferred_decode(
+                    self.model, self.rgb_activation)
+            mu, sd, Pm = dvols.feat_proj
+            rgb_p, dir_p = self._slab_decode_params
+            out = self._slab_decode(
+                out, d, rgb_p, dir_p, jnp.asarray(mu), jnp.asarray(sd),
+                jnp.asarray(Pm), jnp.asarray(_slab.FIXED_BAKE_DIR))
         # slice on DEVICE before the host copy: the pad rows and (when
         # unused) the depth channel never cross the tunnel
         if return_depth:

@@ -201,7 +201,13 @@ def dataset_to_json(ds) -> dict:
         ra = {"min": np.asarray(ds.render_aabb[0], np.float32).tolist(),
               "max": np.asarray(ds.render_aabb[1], np.float32).tolist()}
     else:
-        ra = {"min": [0.0, 0.0, 0.0], "max": [1.0, 1.0, 1.0]}
+        # no crop ⇒ the reference's EMPTY box (default-constructed
+        # BoundingBox, bounding_box.cuh:248-249: min=+inf, max=-inf).
+        # Writing the unit cube here was a real bug: from_json read it
+        # back as a LIVE crop and scene-free snapshot loads rendered
+        # only [0,1]³ of a [-1.5,2.5]³ fox scene.
+        inf = float("inf")
+        ra = {"min": [inf, inf, inf], "max": [-inf, -inf, -inf]}
     return {
         "n_images": n,
         "paths": [str(p) for p in ds.paths] or [""] * n,
@@ -267,6 +273,11 @@ def dataset_from_json(block: dict):
     render_aabb = None
     if isinstance(ra, dict):
         render_aabb = np.asarray([ra["min"], ra["max"]], np.float32)
+        if (render_aabb[1] < render_aabb[0]).any():
+            # the reference's empty box (is_empty, bounding_box.cuh:212)
+            # means "no crop" — m_render_aabb stays the scene aabb
+            # (testbed_nerf.cu:2427-2431)
+            render_aabb = None
     return NerfDataset(
         images=np.zeros((n, h, w, 4), np.uint8),
         is_hdr=bool(block.get("is_hdr", False)),

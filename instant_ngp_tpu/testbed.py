@@ -2082,6 +2082,7 @@ class Testbed:
         nerf_extra = None
         opt_state = None
         cam_offsets = None
+        render_aabb = None
         if self.mode == TestbedMode.NERF:
             ds = task.dataset
             density_grid = np.asarray(task.state.grid.density)
@@ -2095,6 +2096,12 @@ class Testbed:
                 # full reference schema (json_binding.h:112-137) so a
                 # reference build can read our snapshots' dataset block
                 "dataset": snapshot_io.dataset_to_json(ds),
+            }
+            # the live render crop travels at the snapshot top level
+            # (reference m_render_aabb save/restore, testbed.cu:5455)
+            render_aabb = {
+                "min": np.asarray(task.render_aabb_min, np.float32).tolist(),
+                "max": np.asarray(task.render_aabb_max, np.float32).tolist(),
             }
             params = task.state.params
             step = task.training_step

@@ -343,6 +343,46 @@ def test_masked_neighbors_do_not_darken_color():
     assert np.abs(got[:, :3] - ref[:, :3]).max() < 0.08
 
 
+def test_deferred_view_dependence():
+    """Deferred SNeRG-style decode (slab.make_deferred_decode): one
+    diffuse+feature bake serves every camera; agreement with the exact
+    render must be at least as good as the diffuse-only bake, and the
+    machinery (PCA basis, feature channels, per-pixel decode) must be
+    live end to end."""
+    import __graft_entry__ as g
+    from instant_ngp_tpu.nerf.task import NerfTask
+
+    ds = g._synthetic_dataset()
+    task = NerfTask(ds, g._tiny_nerf_config(), n_rays_per_batch=256,
+                    max_samples_per_ray=4, n_march_iters=8)
+    task.train(3)
+    task.slab_res0 = 48
+    xf = np.asarray(ds.xforms_start[0])
+    exact = np.asarray(task.render(24, 24, xf))[..., :3]
+
+    task.slab_deferred_vd = True
+    img_def = np.asarray(task.render(24, 24, xf,
+                                     render_quality="slab"))[..., :3]
+    dvols = task._slab_cache[1]
+    assert dvols.n_feat == 3 and dvols.feat_proj is not None
+    # PCA columns orthonormal
+    P = dvols.feat_proj[2]
+    assert np.allclose(P.T @ P, np.eye(3), atol=1e-4)
+
+    task.slab_deferred_vd = False
+    task._slab_cache = None
+    img_diff = np.asarray(task.render(24, 24, xf,
+                                      render_quality="slab"))[..., :3]
+    assert task._slab_cache[1].n_feat == 0
+
+    mse_def = float(np.mean((img_def - exact) ** 2))
+    mse_diff = float(np.mean((img_diff - exact) ** 2))
+    assert np.isfinite(img_def).all()
+    # never worse than diffuse (equal when the model happens to be
+    # view-independent); strictly better on view-dependent content
+    assert mse_def <= mse_diff * 1.02 + 1e-6, (mse_def, mse_diff)
+
+
 def test_eye_centered_boxes_match_brute_force():
     """Clipmap levels (eye-centered, shifted boxes) agree with brute
     force — the round-4 fox fix: fine voxels follow the camera, not the
